@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Benchmark: G+D train steps/sec/chip (the BASELINE.json north-star
+metric) for the flagship NSGAN config, vs a faithful PyTorch-eager
+replica of the reference's train loop.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+- JAX side: the real framework (HBM-resident data, jitted scanned
+  step) on whatever accelerator is attached; steady-state timing
+  (compile excluded by a warmup run).
+- Baseline side: the reference is pure PyTorch with no published
+  numbers (BASELINE.md), so the baseline is measured here: an eager
+  torch loop with the same models/batch/optimizers and a per-step
+  host->device copy, mirroring SURVEY.md §4.1. torch is CPU-only in
+  this image; the reference itself also ran CPU or single GPU.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BATCH = 100
+HIDDEN = 400
+Z_DIM = 128
+TORCH_STEPS = 120
+JAX_WARMUP = 300
+JAX_STEPS = 3000
+
+
+def bench_jax(data):
+    from generative_models_tpu.config import variant_config
+    from generative_models_tpu.train.trainer import Trainer
+
+    cfg = variant_config(
+        "nsgan", batch_size=BATCH, hidden_dim=HIDDEN, z_dim=Z_DIM,
+        scan_steps=100, seed=0)
+    t = Trainer(config=cfg, data=data)
+    t.train(steps=JAX_WARMUP)          # compile + warmup
+    t.train(steps=JAX_STEPS)           # steady state
+    return JAX_STEPS / t.wall_time
+
+
+def bench_torch(data):
+    """Reference-idiom eager loop (replica built from SURVEY.md §4.1 —
+    the reference mount is empty; math from Goodfellow 2014)."""
+    import numpy as np
+    import torch
+    import torch.nn as nn
+
+    torch.manual_seed(0)
+    x_train = torch.from_numpy(
+        data["x_train"].reshape(len(data["x_train"]), -1).astype("float32")
+        / (255.0 if data["x_train"].dtype == np.uint8 else 1.0))
+
+    G = nn.Sequential(nn.Linear(Z_DIM, HIDDEN), nn.ReLU(),
+                      nn.Linear(HIDDEN, 784), nn.Sigmoid())
+    D = nn.Sequential(nn.Linear(784, HIDDEN), nn.LeakyReLU(0.2),
+                      nn.Linear(HIDDEN, 1))
+    g_opt = torch.optim.Adam(G.parameters(), lr=2e-4)
+    d_opt = torch.optim.Adam(D.parameters(), lr=2e-4)
+    bce = nn.BCEWithLogitsLoss()
+
+    n = x_train.shape[0]
+    perm = torch.randperm(n)
+
+    def step(k):
+        idx = perm[(k * BATCH) % (n - BATCH):(k * BATCH) % (n - BATCH) + BATCH]
+        real = x_train[idx].clone()  # per-batch host copy, reference-style
+        z = torch.randn(BATCH, Z_DIM)
+        fake = G(z)
+        d_loss = bce(D(real).squeeze(1), torch.ones(BATCH)) + \
+            bce(D(fake.detach()).squeeze(1), torch.zeros(BATCH))
+        d_opt.zero_grad(); d_loss.backward(); d_opt.step()
+        z = torch.randn(BATCH, Z_DIM)
+        g_loss = bce(D(G(z)).squeeze(1), torch.ones(BATCH))
+        g_opt.zero_grad(); g_loss.backward(); g_opt.step()
+
+    for k in range(10):  # warmup
+        step(k)
+    t0 = time.perf_counter()
+    for k in range(10, 10 + TORCH_STEPS):
+        step(k)
+    return TORCH_STEPS / (time.perf_counter() - t0)
+
+
+def main():
+    from generative_models_tpu.data.mnist import load_mnist
+
+    data = load_mnist(allow_synthetic=True, synthetic_sizes=(12000, 1000))
+    torch_sps = bench_torch(data)
+    jax_sps = bench_jax(data)
+    print(json.dumps({
+        "metric": "nsgan_gd_steps_per_sec_per_chip",
+        "value": round(jax_sps, 2),
+        "unit": "steps/sec",
+        "vs_baseline": round(jax_sps / torch_sps, 2),
+        "baseline_torch_cpu_steps_per_sec": round(torch_sps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

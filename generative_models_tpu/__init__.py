@@ -1,0 +1,32 @@
+"""generative_models_tpu — a TPU-native JAX rebuild of the annotated
+generative-model tutorial zoo (reference: shayneobrien/generative-models).
+
+The reference is a PyTorch zoo of 13+ generative training objectives on
+MNIST, one self-contained file per variant. This framework factors the
+copy-pasted scaffolding into one TPU-first stack:
+
+- ``models``   shared Generator / Discriminator / Encoder / Decoder MLPs
+               (pure pytrees, functional apply)
+- ``losses``   pluggable loss-head registry: one module per training
+               objective (VAE, BIRVAE, MMGAN, NSGAN, LSGAN, WGAN, WGAN-GP,
+               DRAGAN, BEGAN, RaGAN, InfoGAN, f-GAN x divergences,
+               FisherGAN, CGAN)
+- ``data``     HBM-resident MNIST pipeline: one host->device transfer per
+               run, jitted per-step minibatch gather
+- ``train``    single Trainer + one jitted train step per variant,
+               lax.scan'd over many steps per host dispatch
+- ``parallel`` data parallelism over ICI via jax.sharding.Mesh (jit with
+               NamedSharding, and an explicit shard_map+psum path)
+- ``ops``      Pallas TPU kernels (fused matmul+activation, fused VAE
+               reparameterization+KL) with XLA twins for every kernel
+
+Reference provenance note: the `/root/reference` mount was empty in every
+session so far (see SURVEY.md §0); behaviour is pinned to the papers each
+variant implements and to BASELINE.json's scope, with `# TO-VERIFY`
+markers on recalled hyperparameters (all centralised in
+``generative_models_tpu.config``).
+"""
+
+__version__ = "0.1.0"
+
+from generative_models_tpu.config import Config, variant_config  # noqa: F401

@@ -1,0 +1,91 @@
+"""CLI — `python -m generative_models_tpu --variant wgangp --epochs 25`.
+
+The reference has no CLI (notebook cells / `__main__` usage only,
+SURVEY.md §6); this is the framework's single entry point for training
+any variant.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+from generative_models_tpu.config import Config, VARIANTS, variant_config
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="generative_models_tpu",
+        description="TPU-native generative-model tutorial zoo trainer")
+    p.add_argument("--variant", default="nsgan", choices=sorted(VARIANTS))
+    # Every Config field becomes a flag; variant overrides apply first,
+    # explicit flags win.
+    for f in dataclasses.fields(Config):
+        if f.name == "variant":
+            continue
+        arg = "--" + f.name.replace("_", "-")
+        if f.type == "bool" or isinstance(f.default, bool):
+            p.add_argument(arg, dest=f.name, default=None,
+                           action=argparse.BooleanOptionalAction)
+        else:
+            typ = (int if isinstance(f.default, int)
+                   else float if isinstance(f.default, float) else str)
+            p.add_argument(arg, dest=f.name, default=None, type=typ)
+    p.add_argument("--ckpt", default=None, help="checkpoint path "
+                   "(save at end; with --resume, restore first)")
+    p.add_argument("--echo-every", type=int, default=100)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    overrides = {
+        f.name: getattr(args, f.name)
+        for f in dataclasses.fields(Config)
+        if f.name != "variant" and getattr(args, f.name, None) is not None
+    }
+    cfg = variant_config(args.variant, **overrides)
+
+    from generative_models_tpu.train.trainer import Trainer
+    t = Trainer(config=cfg)
+    if args.ckpt and cfg.resume and os.path.exists(
+            args.ckpt if args.ckpt.endswith(".npz") else args.ckpt + ".npz"):
+        t.load_model(args.ckpt)
+        print(f"resumed from {args.ckpt} at step "
+              f"{int(t.state['step'])}")
+
+    run_dir = os.path.join(cfg.out_dir, cfg.variant)
+    os.makedirs(run_dir, exist_ok=True)
+
+    if cfg.profile:
+        import jax
+        jax.profiler.start_trace(os.path.join(run_dir, "trace"))
+
+    t.train(num_epochs=cfg.epochs,
+            steps=None if cfg.epochs else cfg.steps,
+            log_path=os.path.join(run_dir, "metrics.jsonl"),
+            echo_every=args.echo_every)
+
+    if cfg.profile:
+        import jax
+        jax.profiler.stop_trace()
+
+    sps = t.steps_done / t.wall_time
+    print(json.dumps({
+        "variant": cfg.variant,
+        "steps": t.steps_done,
+        "wall_s": round(t.wall_time, 3),
+        "steps_per_sec": round(sps, 2),
+    }))
+    t.generate_images(tag="final")
+    t.viz_loss()
+    if args.ckpt:
+        print("saved:", t.save_model(args.ckpt))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

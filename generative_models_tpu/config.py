@@ -1,0 +1,130 @@
+"""Central configuration for every variant.
+
+The reference keeps hyperparameters inline in each of its per-variant files
+(`src/<variant>.py`, reference layout per SURVEY.md §3.2 — mount empty, so
+unverifiable this round). All defaults that are *recalled* rather than
+paper-pinned carry a `TO-VERIFY` comment; fixing them against a future
+reference mount is a one-file diff, by design (SURVEY.md §8).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+
+@dataclasses.dataclass
+class Config:
+    """Hyperparameters shared by every variant, with per-variant overrides.
+
+    Paper-pinned values cite the paper; recalled reference values are
+    marked TO-VERIFY (SURVEY.md §8).
+    """
+
+    variant: str = "nsgan"
+
+    # --- data ---------------------------------------------------------
+    batch_size: int = 100          # TO-VERIFY vs reference (SURVEY §8: R-med)
+    image_dim: int = 784           # 28x28 MNIST, flattened in the trainer
+    num_classes: int = 10
+    dataset: str = "mnist"         # "mnist" | "synthetic"
+    data_dir: str = "data"
+
+    # --- model --------------------------------------------------------
+    z_dim: int = 128               # TO-VERIFY (R-low; some repos use 100)
+    hidden_dim: int = 400          # TO-VERIFY (R-low; 256-400 range)
+    g_hidden_act: str = "relu"     # TO-VERIFY
+    d_hidden_act: str = "leaky_relu"  # TO-VERIFY; slope 0.2 is GAN-standard
+    leaky_slope: float = 0.2
+
+    # VAE family
+    latent_dim: int = 20           # Kingma & Welling 2013 MNIST setup
+    vae_hidden_dim: int = 400      # TO-VERIFY (R-med)
+
+    # --- optimization ---------------------------------------------------
+    g_lr: float = 2e-4             # TO-VERIFY (R-med)
+    d_lr: float = 2e-4             # TO-VERIFY (R-med)
+    optimizer: str = "adam"        # "adam" | "rmsprop"
+    adam_b1: float = 0.9           # torch Adam defaults unless overridden
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    d_steps: int = 1               # critic steps per generator step
+
+    # --- variant-specific mechanisms (paper-pinned unless noted) --------
+    wgan_clip: float = 0.01        # Arjovsky 2017: clip critic to ±0.01
+    gp_lambda: float = 10.0        # Gulrajani 2017 / Kodali 2017: λ = 10
+    dragan_noise_scale: float = 0.5  # TO-VERIFY: x̂ = x + 0.5·std(x)·U(0,1)
+    began_gamma: float = 0.75      # Berthelot 2017 diversity ratio TO-VERIFY (0.5-0.75)
+    began_lambda_k: float = 1e-3   # Berthelot 2017 k_t learning rate
+    began_k0: float = 0.0
+    began_ae_hidden: int = 400     # AE discriminator hidden width TO-VERIFY
+    fisher_rho: float = 1e-6       # Mroueh 2017 augmented-Lagrangian ρ TO-VERIFY
+    info_cat_dim: int = 10         # InfoGAN categorical code size
+    info_cont_dim: int = 2         # TO-VERIFY (presence of continuous codes)
+    info_lambda: float = 1.0       # Chen 2016 MI weight
+    fgan_divergence: str = "jensen_shannon"  # pluggable (see losses/fgan.py)
+    birvae_bits: float = 12.0      # BIRVAE target information rate I (bits) TO-VERIFY
+    vae_recon: str = "bce"         # "bce" (Bernoulli decoder) | "mse"
+
+    # --- numerics / performance ----------------------------------------
+    dtype: str = "float32"         # activation compute dtype; params stay f32
+    use_pallas: bool = True        # Pallas kernels on TPU; XLA twin elsewhere
+    scan_steps: int = 50           # train steps fused per host dispatch
+
+    # --- parallelism ----------------------------------------------------
+    dp: int = 1                    # data-parallel mesh size over ICI
+    dp_impl: str = "jit"           # "jit" (NamedSharding) | "shard_map"
+
+    # --- run / io -------------------------------------------------------
+    seed: int = 42
+    steps: int = 2000
+    epochs: Optional[int] = None   # if set, overrides steps
+    sample_every: int = 0          # steps between sample grids (0 = per epoch)
+    sample_n: int = 64
+    out_dir: str = "runs"
+    ckpt_every: int = 0            # 0 = only at end
+    resume: bool = False
+    profile: bool = False
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+# Per-variant overrides, the one place the reference's per-file
+# hyperparameters live (SURVEY.md §8). Paper defaults where the recalled
+# reference value is unknown.
+VARIANT_OVERRIDES: Dict[str, Dict[str, Any]] = {
+    "vae": {"d_steps": 0},
+    "birvae": {"d_steps": 0},
+    "mmgan": {},
+    "nsgan": {},
+    "lsgan": {},
+    "cgan": {},
+    "ragan": {},
+    "infogan": {},
+    "fgan": {},
+    "began": {"began_gamma": 0.75},
+    # WGAN paper (Arjovsky 2017): RMSprop 5e-5, 5 critic steps.
+    # TO-VERIFY which optimizer the reference file actually used.
+    "wgan": {"optimizer": "rmsprop", "g_lr": 5e-5, "d_lr": 5e-5, "d_steps": 5},
+    # WGAN-GP paper (Gulrajani 2017): Adam(1e-4, β=(0.5, 0.9)), 5 critic steps.
+    "wgangp": {"g_lr": 1e-4, "d_lr": 1e-4, "adam_b1": 0.5, "adam_b2": 0.9,
+               "d_steps": 5},
+    # DRAGAN paper (Kodali 2017): NSGAN loss + local penalty, 1 critic step.
+    "dragan": {"adam_b1": 0.5},
+    "fishergan": {},
+}
+
+VARIANTS: Tuple[str, ...] = tuple(VARIANT_OVERRIDES)
+
+
+def variant_config(variant: str, **overrides) -> Config:
+    """Config for `variant` with its registry defaults applied, then
+    user overrides on top."""
+    if variant not in VARIANT_OVERRIDES:
+        raise ValueError(
+            f"unknown variant {variant!r}; known: {sorted(VARIANT_OVERRIDES)}")
+    kw: Dict[str, Any] = {"variant": variant}
+    kw.update(VARIANT_OVERRIDES[variant])
+    kw.update(overrides)
+    return Config(**kw)

@@ -1,0 +1,206 @@
+"""The single jitted train step — one builder runs every variant.
+
+Reference idiom (SURVEY.md §4.1): a Python loop doing D_steps critic
+updates (fresh batch each), then one G update on the LAST critic batch,
+with eager per-op dispatch and a host->device copy per batch. Here the
+whole thing is ONE traced function:
+
+- D inner loop     -> lax.scan over pre-gathered [d_steps, B, ...] batches
+- G update         -> uses the post-update critic params (reference order)
+- variant hooks    -> d_post (weight clip), d_state_update (Fisher λ),
+                      step_state_update (BEGAN k_t) — all in-trace
+- many outer steps -> lax.scan over `scan_steps` minibatch offsets per
+                      host dispatch (the big throughput lever: the tiny
+                      MNIST MLPs are dispatch-bound in the reference)
+
+Data stays HBM-resident; each outer step gathers its own minibatches
+from the epoch permutation on device (data/pipeline.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from generative_models_tpu.config import Config
+from generative_models_tpu.data.pipeline import DeviceData, gather_batch
+from generative_models_tpu.losses.base import AdversarialSpec, SingleModelSpec
+from generative_models_tpu.train.optim import make_tx
+
+State = Dict[str, Any]
+
+
+# ------------------------------------------------------------------
+# State construction
+# ------------------------------------------------------------------
+
+def init_adversarial_state(spec: AdversarialSpec, cfg: Config, rng) -> State:
+    g_rng, d_rng, state_rng = jax.random.split(rng, 3)
+    g_params = spec.init_g(g_rng, cfg)
+    d_params = spec.init_d(d_rng, cfg)
+    g_tx = make_tx(cfg, cfg.g_lr)
+    d_tx = make_tx(cfg, cfg.d_lr)
+    return {
+        "g_params": g_params,
+        "d_params": d_params,
+        "g_opt": g_tx.init(g_params),
+        "d_opt": d_tx.init(d_params),
+        "vstate": spec.init_vstate(cfg),
+        "step": jnp.zeros((), jnp.int32),
+        "rng": state_rng,
+    }
+
+
+def init_single_state(spec: SingleModelSpec, cfg: Config, rng) -> State:
+    p_rng, state_rng = jax.random.split(rng)
+    params = spec.init_params(p_rng, cfg)
+    tx = make_tx(cfg, cfg.g_lr)
+    return {
+        "params": params,
+        "opt": tx.init(params),
+        "step": jnp.zeros((), jnp.int32),
+        "rng": state_rng,
+    }
+
+
+def init_state(spec, cfg: Config, rng) -> State:
+    if spec.adversarial:
+        return init_adversarial_state(spec, cfg, rng)
+    return init_single_state(spec, cfg, rng)
+
+
+def batches_per_step(spec, cfg: Config) -> int:
+    """Epoch-permutation rows consumed per outer step. Adversarial
+    variants draw d_steps fresh critic batches; the G step reuses the
+    last one (reference semantics, SURVEY.md §4.1)."""
+    return max(cfg.d_steps, 1) if spec.adversarial else 1
+
+
+# ------------------------------------------------------------------
+# Step builders
+# ------------------------------------------------------------------
+
+def build_adversarial_step(spec: AdversarialSpec, cfg: Config):
+    g_tx = make_tx(cfg, cfg.g_lr)
+    d_tx = make_tx(cfg, cfg.d_lr)
+    d_grad = jax.value_and_grad(spec.d_loss, has_aux=True)
+    g_grad = jax.value_and_grad(spec.g_loss, has_aux=True)
+    d_steps = max(cfg.d_steps, 1)
+
+    def train_step(state: State, d_batches) -> Tuple[State, Dict]:
+        """d_batches: batch pytree with leading dims [d_steps, B]."""
+        rng, d_key, g_key = jax.random.split(state["rng"], 3)
+        d_rngs = jax.random.split(d_key, d_steps)
+        g_params = state["g_params"]
+
+        def d_body(carry, inp):
+            d_params, d_opt, vstate = carry
+            batch, r = inp
+            (_, metrics), grads = d_grad(
+                d_params, g_params, batch, r, vstate, cfg)
+            updates, d_opt = d_tx.update(grads, d_opt, d_params)
+            d_params = optax.apply_updates(d_params, updates)
+            d_params = spec.d_post(d_params, cfg)
+            vstate = spec.d_state_update(vstate, metrics, cfg)
+            return (d_params, d_opt, vstate), metrics
+
+        (d_params, d_opt, vstate), d_metrics_seq = jax.lax.scan(
+            d_body,
+            (state["d_params"], state["d_opt"], state["vstate"]),
+            (d_batches, d_rngs),
+        )
+        d_metrics = jax.tree.map(lambda a: a[-1], d_metrics_seq)
+
+        g_batch = jax.tree.map(lambda a: a[-1], d_batches)
+        (_, g_metrics), g_grads = g_grad(
+            state["g_params"], d_params, g_batch, g_key, vstate, cfg)
+        g_updates, g_opt = g_tx.update(g_grads, state["g_opt"],
+                                       state["g_params"])
+        new_g_params = optax.apply_updates(state["g_params"], g_updates)
+
+        vstate = spec.step_state_update(vstate, d_metrics, g_metrics, cfg)
+
+        new_state = {
+            "g_params": new_g_params,
+            "d_params": d_params,
+            "g_opt": g_opt,
+            "d_opt": d_opt,
+            "vstate": vstate,
+            "step": state["step"] + 1,
+            "rng": rng,
+        }
+        metrics = {**d_metrics, **g_metrics}
+        for k, v in vstate.items():
+            metrics[f"vstate_{k}"] = v
+        return new_state, metrics
+
+    return train_step
+
+
+def build_single_step(spec: SingleModelSpec, cfg: Config):
+    tx = make_tx(cfg, cfg.g_lr)
+    grad_fn = jax.value_and_grad(spec.loss, has_aux=True)
+
+    def train_step(state: State, batches) -> Tuple[State, Dict]:
+        """batches: batch pytree with leading dims [1, B] (uniform with
+        the adversarial layout)."""
+        batch = jax.tree.map(lambda a: a[0], batches)
+        rng, key = jax.random.split(state["rng"])
+        (_, metrics), grads = grad_fn(state["params"], batch, key, cfg)
+        updates, opt = tx.update(grads, state["opt"], state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        new_state = {
+            "params": params,
+            "opt": opt,
+            "step": state["step"] + 1,
+            "rng": rng,
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def build_step(spec, cfg: Config):
+    if spec.adversarial:
+        return build_adversarial_step(spec, cfg)
+    return build_single_step(spec, cfg)
+
+
+# ------------------------------------------------------------------
+# Many-steps driver: scan over minibatch offsets within an epoch chunk
+# ------------------------------------------------------------------
+
+def build_many_steps(spec, cfg: Config, batch_sharding=None):
+    """Returns fn(state, images, labels, perm, offsets) -> (state, metrics)
+    running len(offsets) outer steps in one XLA computation.
+
+    `offsets[k]` is the row index into the epoch permutation where step
+    k's batches begin. `batch_sharding` is an optional callable
+    `batch_dict -> batch_dict` applying sharding constraints along the
+    batch axis (dim 1 of the [nb, B, ...] layout); with it, XLA splits
+    compute over the mesh and all-reduces grads (params replicated) —
+    see parallel/dp.py.
+    """
+    train_step = build_step(spec, cfg)
+    nb = batches_per_step(spec, cfg)
+    bsz = cfg.batch_size
+
+    def gather(images, labels, perm, offset):
+        data = DeviceData(images=images, labels=labels)
+        flat = gather_batch(data, perm, offset, nb * bsz)
+        batches = jax.tree.map(
+            lambda a: a.reshape((nb, bsz) + a.shape[1:]), flat)
+        if batch_sharding is not None:
+            batches = batch_sharding(batches)
+        return batches
+
+    def many_steps(state, images, labels, perm, offsets):
+        def body(state, offset):
+            batches = gather(images, labels, perm, offset)
+            return train_step(state, batches)
+        return jax.lax.scan(body, state, offsets)
+
+    return many_steps

@@ -1,0 +1,193 @@
+"""The single Trainer that runs the whole loss family.
+
+Reference API (SURVEY.md §2.1): each variant file defines
+`Trainer(model, train_iter, val_iter, test_iter)` with
+`.train(num_epochs, G_lr, D_lr, D_steps)`, `.generate_images(...)`,
+`.save_model(...)` / `.load_model(...)`. This Trainer keeps that surface
+(so a reference user can switch 1:1) while the execution model is
+TPU-native: HBM-resident data, one jitted scan of `scan_steps` train
+steps per host dispatch, optional DP over an ICI mesh.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from generative_models_tpu.config import Config, variant_config
+from generative_models_tpu.data.mnist import load_dataset, to_flat_float
+from generative_models_tpu.losses.registry import get_variant
+from generative_models_tpu.train import step as step_lib
+from generative_models_tpu.utils.metrics import MetricsLogger
+from generative_models_tpu.utils.viz import plot_losses, save_image_grid
+from generative_models_tpu import ops
+
+
+class Trainer:
+    """One trainer, every variant.
+
+    >>> t = Trainer("nsgan")
+    >>> t.train(num_epochs=25)          # reference-style
+    >>> t.generate_images(epoch=25)
+    """
+
+    def __init__(self, variant: str = "nsgan",
+                 config: Optional[Config] = None,
+                 data: Optional[Dict[str, np.ndarray]] = None,
+                 mesh: Optional[jax.sharding.Mesh] = None,
+                 **overrides):
+        self.cfg = config if config is not None else variant_config(
+            variant, **overrides)
+        self.spec = get_variant(self.cfg.variant)
+        self.mesh = mesh
+
+        # Pallas kernels only make sense on a TPU backend; the XLA twin
+        # is the reference implementation everywhere else.
+        from generative_models_tpu.ops.linear import pallas_backend_available
+        ops.set_backend(
+            "pallas" if (self.cfg.use_pallas and pallas_backend_available())
+            else "xla")
+
+        arrs = to_flat_float(data if data is not None else
+                             load_dataset(self.cfg))
+        self.x_train = jnp.asarray(arrs["x_train"])
+        self.y_train = jnp.asarray(arrs["y_train"])
+        self.x_test = arrs["x_test"]
+        self.y_test = arrs["y_test"]
+
+        self._build()
+
+    # --------------------------------------------------------------
+    def _build(self):
+        cfg = self.cfg
+        rng = jax.random.PRNGKey(cfg.seed)
+        self._init_rng, self._perm_rng, self._sample_rng = jax.random.split(
+            rng, 3)
+        self.state = step_lib.init_state(self.spec, cfg, self._init_rng)
+
+        batch_sharding = None
+        if self.mesh is not None:
+            from generative_models_tpu.parallel.dp import batch_constrainer
+            batch_sharding = batch_constrainer(self.mesh)
+
+        many = step_lib.build_many_steps(self.spec, cfg, batch_sharding)
+        self._many_steps = jax.jit(many, donate_argnums=(0,))
+        self._sample_fn = jax.jit(
+            lambda params, rng, n: self.spec.sample(params, rng, n, cfg),
+            static_argnums=(2,))
+
+        nb = step_lib.batches_per_step(self.spec, cfg)
+        self.rows_per_step = nb * cfg.batch_size
+        self.steps_per_epoch = self.x_train.shape[0] // self.rows_per_step
+        if self.steps_per_epoch < 1:
+            raise ValueError("dataset smaller than one training step")
+
+    # --------------------------------------------------------------
+    def train(self, num_epochs: Optional[int] = None,
+              G_lr: Optional[float] = None, D_lr: Optional[float] = None,
+              D_steps: Optional[int] = None,
+              steps: Optional[int] = None,
+              log_path: Optional[str] = None,
+              echo_every: int = 0,
+              sample_every: Optional[int] = None) -> Dict[str, list]:
+        """Train. Reference-compatible: `.train(num_epochs, G_lr, D_lr,
+        D_steps)`; or pass `steps=` for a step budget. Returns the loss
+        history dict."""
+        cfg = self.cfg
+        rebuild = {}
+        if G_lr is not None:
+            rebuild["g_lr"] = G_lr
+        if D_lr is not None:
+            rebuild["d_lr"] = D_lr
+        if D_steps is not None:
+            rebuild["d_steps"] = D_steps
+        if rebuild:
+            self.cfg = cfg = cfg.replace(**rebuild)
+            self._build()  # fresh optimizers at the new lrs (reference
+            # constructs optimizers inside .train())
+
+        if steps is None:
+            epochs = num_epochs if num_epochs is not None else (
+                cfg.epochs if cfg.epochs else None)
+            total = (epochs * self.steps_per_epoch if epochs
+                     else cfg.steps)
+        else:
+            total = steps
+
+        logger = MetricsLogger(log_path, echo_every=echo_every)
+        sample_every = (cfg.sample_every if sample_every is None
+                        else sample_every)
+
+        done = 0
+        pos = 0  # step within current epoch
+        perm = self._next_perm()
+        t0 = time.time()
+        while done < total:
+            chunk = min(cfg.scan_steps, self.steps_per_epoch - pos,
+                        total - done)
+            offsets = (pos + jnp.arange(chunk)) * self.rows_per_step
+            self.state, stacked = self._many_steps(
+                self.state, self.x_train, self.y_train, perm,
+                offsets.astype(jnp.int32))
+            logger.log_chunk(done, jax.device_get(stacked))
+            done += chunk
+            pos += chunk
+            if pos >= self.steps_per_epoch:
+                pos = 0
+                perm = self._next_perm()
+                epoch = done // self.steps_per_epoch
+                if sample_every == 0:
+                    self.generate_images(tag=f"epoch{epoch:03d}")
+            elif sample_every > 0 and done % sample_every == 0:
+                self.generate_images(tag=f"step{done:06d}")
+        jax.block_until_ready(self.state)
+        self.wall_time = time.time() - t0
+        self.steps_done = total
+        logger.close()
+        self.history = logger.history
+        return logger.history
+
+    def _next_perm(self):
+        self._perm_rng, key = jax.random.split(self._perm_rng)
+        return jax.random.permutation(key, self.x_train.shape[0])
+
+    # --------------------------------------------------------------
+    def sample(self, n: Optional[int] = None) -> np.ndarray:
+        """Draw n samples from the generator/decoder prior."""
+        n = n or self.cfg.sample_n
+        self._sample_rng, key = jax.random.split(self._sample_rng)
+        params = (self.state["g_params"] if self.spec.adversarial
+                  else self.state["params"])
+        return np.asarray(self._sample_fn(params, key, n))
+
+    def generate_images(self, tag: str = "samples", n: Optional[int] = None,
+                        out_dir: Optional[str] = None) -> str:
+        """Reference's `generate_images`: a PNG sample grid."""
+        imgs = self.sample(n)
+        out_dir = out_dir or os.path.join(self.cfg.out_dir, self.cfg.variant)
+        return save_image_grid(
+            os.path.join(out_dir, f"{tag}.png"), imgs)
+
+    def viz_loss(self, path: Optional[str] = None) -> str:
+        """Reference's loss-curve plot."""
+        path = path or os.path.join(self.cfg.out_dir, self.cfg.variant,
+                                    "loss.png")
+        return plot_losses(path, getattr(self, "history", {}))
+
+    # --------------------------------------------------------------
+    def save_model(self, path: str) -> str:
+        """Checkpoint the FULL train state (params, both optimizer
+        states, step, rng, variant state) — unlike the reference's
+        params-only torch.save (SURVEY.md §6)."""
+        from generative_models_tpu.utils.checkpoint import save_state
+        return save_state(path, self.state)
+
+    def load_model(self, path: str) -> None:
+        from generative_models_tpu.utils.checkpoint import restore_state
+        self.state = restore_state(path, self.state)
