@@ -89,13 +89,25 @@ class Config:
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
 
+    def __post_init__(self):
+        if self.dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"dtype must be float32|bfloat16, got {self.dtype!r}")
+        if self.optimizer not in ("adam", "rmsprop"):
+            raise ValueError(f"optimizer must be adam|rmsprop, got {self.optimizer!r}")
+        if self.vae_recon not in ("bce", "mse"):
+            raise ValueError(f"vae_recon must be bce|mse, got {self.vae_recon!r}")
+        if self.variant == "fgan":
+            # fail fast with a clean message instead of a mid-trace error
+            from generative_models_tpu.losses.fgan import get_divergence
+            get_divergence(self.fgan_divergence)
+
 
 # Per-variant overrides, the one place the reference's per-file
 # hyperparameters live (SURVEY.md §8). Paper defaults where the recalled
 # reference value is unknown.
 VARIANT_OVERRIDES: Dict[str, Dict[str, Any]] = {
     "vae": {"d_steps": 0},
-    "birvae": {"d_steps": 0},
+    "birvae": {"d_steps": 0, "vae_recon": "mse"},  # paper uses MSE; TO-VERIFY
     "mmgan": {},
     "nsgan": {},
     "lsgan": {},
