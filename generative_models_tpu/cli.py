@@ -49,8 +49,13 @@ def main(argv=None) -> int:
     }
     cfg = variant_config(args.variant, **overrides)
 
+    mesh = None
+    if cfg.dp > 1:
+        from generative_models_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(cfg.dp)
+
     from generative_models_tpu.train.trainer import Trainer
-    t = Trainer(config=cfg)
+    t = Trainer(config=cfg, mesh=mesh)
     if args.ckpt and cfg.resume and os.path.exists(
             args.ckpt if args.ckpt.endswith(".npz") else args.ckpt + ".npz"):
         t.load_model(args.ckpt)

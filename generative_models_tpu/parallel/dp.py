@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from generative_models_tpu.parallel.mesh import DATA_AXIS
@@ -39,3 +40,60 @@ def batch_constrainer(mesh: jax.sharding.Mesh):
 
 def replicated(mesh: jax.sharding.Mesh):
     return NamedSharding(mesh, P())
+
+
+try:
+    from jax import shard_map as _shard_map  # jax >= 0.7 public API
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+
+def build_shard_map_many_steps(spec, cfg, mesh: jax.sharding.Mesh):
+    """Explicit-SPMD twin of train.step.build_many_steps.
+
+    Everything (state, dataset, permutation) is replicated into the
+    shard_map; each device gathers only ITS rows of every minibatch
+    (rank-offset slice of the epoch permutation), computes local grads,
+    and `lax.pmean` reduces them over ICI before the (identical)
+    optimizer update on every device. cfg.batch_size is the GLOBAL
+    batch; it must divide by the mesh size.
+
+    Returns a jitted fn(state, images, labels, perm, offsets).
+    """
+    from generative_models_tpu.train import step as step_lib
+
+    n_dev = int(np.prod(mesh.devices.shape))
+    if cfg.batch_size % n_dev != 0:
+        raise ValueError(
+            f"global batch {cfg.batch_size} not divisible by mesh size {n_dev}")
+    local_b = cfg.batch_size // n_dev
+    nb = step_lib.batches_per_step(spec, cfg)
+    train_step = step_lib.build_step(spec, cfg, axis_name=DATA_AXIS)
+
+    def gather_local(images, labels, perm, offset):
+        rank = jax.lax.axis_index(DATA_AXIS)
+        # rows of minibatch j for this device:
+        #   perm[offset + j*B_global + rank*local_b + (0..local_b)]
+        base = offset + rank * local_b
+        idx = (base + jnp.arange(nb)[:, None] * cfg.batch_size
+               + jnp.arange(local_b)[None, :])
+        rows = jnp.take(perm, idx.reshape(-1), axis=0)
+        return {
+            "image": jnp.take(images, rows, axis=0).reshape(
+                nb, local_b, images.shape[-1]),
+            "label": jnp.take(labels, rows, axis=0).reshape(nb, local_b),
+        }
+
+    def many_steps(state, images, labels, perm, offsets):
+        def body(state, offset):
+            return train_step(state, gather_local(images, labels, perm,
+                                                  offset))
+        return jax.lax.scan(body, state, offsets)
+
+    smapped = _shard_map(
+        many_steps, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(smapped, donate_argnums=(0,))

@@ -83,12 +83,27 @@ def batches_per_step(spec, cfg: Config) -> int:
 # Step builders
 # ------------------------------------------------------------------
 
-def build_adversarial_step(spec: AdversarialSpec, cfg: Config):
+def build_adversarial_step(spec: AdversarialSpec, cfg: Config,
+                           axis_name: str | None = None):
+    """axis_name: set under shard_map — per-device grads/metrics are
+    pmean'd over the mesh axis (the explicit-collective DP path); the
+    loss rng is folded with the device rank so noise draws are
+    independent per shard."""
     g_tx = make_tx(cfg, cfg.g_lr)
     d_tx = make_tx(cfg, cfg.d_lr)
     d_grad = jax.value_and_grad(spec.d_loss, has_aux=True)
     g_grad = jax.value_and_grad(spec.g_loss, has_aux=True)
     d_steps = max(cfg.d_steps, 1)
+
+    def reduce_(tree):
+        if axis_name is None:
+            return tree
+        return jax.lax.pmean(tree, axis_name)
+
+    def shard_rng(r):
+        if axis_name is None:
+            return r
+        return jax.random.fold_in(r, jax.lax.axis_index(axis_name))
 
     def train_step(state: State, d_batches) -> Tuple[State, Dict]:
         """d_batches: batch pytree with leading dims [d_steps, B]."""
@@ -100,7 +115,8 @@ def build_adversarial_step(spec: AdversarialSpec, cfg: Config):
             d_params, d_opt, vstate = carry
             batch, r = inp
             (_, metrics), grads = d_grad(
-                d_params, g_params, batch, r, vstate, cfg)
+                d_params, g_params, batch, shard_rng(r), vstate, cfg)
+            grads, metrics = reduce_((grads, metrics))
             updates, d_opt = d_tx.update(grads, d_opt, d_params)
             d_params = optax.apply_updates(d_params, updates)
             d_params = spec.d_post(d_params, cfg)
@@ -116,7 +132,9 @@ def build_adversarial_step(spec: AdversarialSpec, cfg: Config):
 
         g_batch = jax.tree.map(lambda a: a[-1], d_batches)
         (_, g_metrics), g_grads = g_grad(
-            state["g_params"], d_params, g_batch, g_key, vstate, cfg)
+            state["g_params"], d_params, g_batch, shard_rng(g_key), vstate,
+            cfg)
+        g_grads, g_metrics = reduce_((g_grads, g_metrics))
         g_updates, g_opt = g_tx.update(g_grads, state["g_opt"],
                                        state["g_params"])
         new_g_params = optax.apply_updates(state["g_params"], g_updates)
@@ -140,7 +158,8 @@ def build_adversarial_step(spec: AdversarialSpec, cfg: Config):
     return train_step
 
 
-def build_single_step(spec: SingleModelSpec, cfg: Config):
+def build_single_step(spec: SingleModelSpec, cfg: Config,
+                      axis_name: str | None = None):
     tx = make_tx(cfg, cfg.g_lr)
     grad_fn = jax.value_and_grad(spec.loss, has_aux=True)
 
@@ -149,7 +168,11 @@ def build_single_step(spec: SingleModelSpec, cfg: Config):
         the adversarial layout)."""
         batch = jax.tree.map(lambda a: a[0], batches)
         rng, key = jax.random.split(state["rng"])
+        if axis_name is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         (_, metrics), grads = grad_fn(state["params"], batch, key, cfg)
+        if axis_name is not None:
+            grads, metrics = jax.lax.pmean((grads, metrics), axis_name)
         updates, opt = tx.update(grads, state["opt"], state["params"])
         params = optax.apply_updates(state["params"], updates)
         new_state = {
@@ -163,10 +186,10 @@ def build_single_step(spec: SingleModelSpec, cfg: Config):
     return train_step
 
 
-def build_step(spec, cfg: Config):
+def build_step(spec, cfg: Config, axis_name: str | None = None):
     if spec.adversarial:
-        return build_adversarial_step(spec, cfg)
-    return build_single_step(spec, cfg)
+        return build_adversarial_step(spec, cfg, axis_name)
+    return build_single_step(spec, cfg, axis_name)
 
 
 # ------------------------------------------------------------------

@@ -71,13 +71,19 @@ class Trainer:
             rng, 3)
         self.state = step_lib.init_state(self.spec, cfg, self._init_rng)
 
-        batch_sharding = None
-        if self.mesh is not None:
-            from generative_models_tpu.parallel.dp import batch_constrainer
-            batch_sharding = batch_constrainer(self.mesh)
-
-        many = step_lib.build_many_steps(self.spec, cfg, batch_sharding)
-        self._many_steps = jax.jit(many, donate_argnums=(0,))
+        if self.mesh is not None and cfg.dp_impl == "shard_map":
+            from generative_models_tpu.parallel.dp import (
+                build_shard_map_many_steps,
+            )
+            self._many_steps = build_shard_map_many_steps(
+                self.spec, cfg, self.mesh)
+        else:
+            batch_sharding = None
+            if self.mesh is not None:
+                from generative_models_tpu.parallel.dp import batch_constrainer
+                batch_sharding = batch_constrainer(self.mesh)
+            many = step_lib.build_many_steps(self.spec, cfg, batch_sharding)
+            self._many_steps = jax.jit(many, donate_argnums=(0,))
         self._sample_fn = jax.jit(
             lambda params, rng, n: self.spec.sample(params, rng, n, cfg),
             static_argnums=(2,))
