@@ -27,8 +27,9 @@ BATCH = 100
 HIDDEN = 400
 Z_DIM = 128
 TORCH_STEPS = 120
-JAX_WARMUP = 300
-JAX_STEPS = 3000
+SCAN = 2000
+JAX_WARMUP = SCAN
+JAX_STEPS = 10 * SCAN
 
 
 def bench_jax(data):
@@ -37,7 +38,7 @@ def bench_jax(data):
 
     cfg = variant_config(
         "nsgan", batch_size=BATCH, hidden_dim=HIDDEN, z_dim=Z_DIM,
-        scan_steps=100, seed=0)
+        scan_steps=SCAN, seed=0)  # default path: Pallas kernels on TPU
     t = Trainer(config=cfg, data=data)
     t.train(steps=JAX_WARMUP)          # compile + warmup
     t.train(steps=JAX_STEPS)           # steady state

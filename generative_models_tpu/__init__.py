@@ -29,4 +29,19 @@ markers on recalled hyperparameters (all centralised in
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA/Mosaic compilation cache: first Pallas compile over the
+# TPU tunnel can take minutes; cached recompiles are near-instant.
+try:
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("GMTPU_COMPILE_CACHE",
+                        _os.path.expanduser("~/.cache/gmtpu_jax_cache")))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass
+
 from generative_models_tpu.config import Config, variant_config  # noqa: F401

@@ -69,7 +69,10 @@ class Config:
     # --- numerics / performance ----------------------------------------
     dtype: str = "float32"         # activation compute dtype; params stay f32
     use_pallas: bool = True        # Pallas kernels on TPU; XLA twin elsewhere
-    scan_steps: int = 50           # train steps fused per host dispatch
+    # Train steps fused per host dispatch (one lax.scan). The MNIST MLPs
+    # are dispatch-bound: measured on the v5e tunnel, steady-state
+    # throughput is ~1.1k steps/s at 100, ~6k at 1000, ~8.7k at 2000.
+    scan_steps: int = 1000
 
     # --- parallelism ----------------------------------------------------
     dp: int = 1                    # data-parallel mesh size over ICI

@@ -61,6 +61,10 @@ class AdversarialSpec:
     step_state_update: Callable = _identity_step_state
     init_vstate: Callable = _empty_vstate
     adversarial: bool = True
+    # True for gradient-penalty objectives: their grad-of-grad cannot
+    # pass through custom_vjp Pallas kernels (no forward-mode rule), so
+    # the trainer pins the XLA op path for these variants.
+    needs_second_order: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

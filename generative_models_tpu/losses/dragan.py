@@ -58,4 +58,5 @@ DRAGAN = AdversarialSpec(
     d_loss=_d_loss,
     g_loss=_g_loss,
     sample=_sample,
+    needs_second_order=True,
 )

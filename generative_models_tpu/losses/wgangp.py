@@ -62,4 +62,5 @@ WGANGP = AdversarialSpec(
     d_loss=_d_loss,
     g_loss=_g_loss,
     sample=_sample,
+    needs_second_order=True,
 )

@@ -41,13 +41,29 @@ def mlp_init(rng, dims: Sequence[int], dtype=jnp.float32) -> List[dict]:
     ]
 
 
-def mlp_apply(layers: List[dict], x, hidden_act: str = "relu",
-              out_act: str = "none", slope: float = 0.2,
-              compute_dtype=None):
-    """Forward through the stack; fused linear+activation per layer."""
+def mlp_apply_xla(layers: List[dict], x, hidden_act: str = "relu",
+                  out_act: str = "none", slope: float = 0.2,
+                  compute_dtype=None):
+    """Per-layer XLA path (the Pallas kernel's correctness twin)."""
     n = len(layers)
     for i, layer in enumerate(layers):
         act = out_act if i == n - 1 else hidden_act
         x = fused_linear(x, layer["w"], layer["b"], act=act, slope=slope,
                          compute_dtype=compute_dtype)
     return x
+
+
+def mlp_apply(layers: List[dict], x, hidden_act: str = "relu",
+              out_act: str = "none", slope: float = 0.2,
+              compute_dtype=None):
+    """Forward through the stack. On the 'pallas' backend the WHOLE
+    stack runs as one fused VMEM-resident TPU kernel
+    (ops/pallas_mlp.py); otherwise per-layer fused linear+activation
+    (XLA fuses the epilogues)."""
+    from generative_models_tpu.ops import get_backend
+    if get_backend() == "pallas":
+        from generative_models_tpu.ops.pallas_mlp import mlp_apply_pallas
+        return mlp_apply_pallas(layers, x, hidden_act, out_act, slope,
+                                compute_dtype)
+    return mlp_apply_xla(layers, x, hidden_act, out_act, slope,
+                         compute_dtype)

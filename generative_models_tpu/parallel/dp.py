@@ -48,17 +48,19 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map as _shard_map
 
 
-def build_shard_map_many_steps(spec, cfg, mesh: jax.sharding.Mesh):
+def build_shard_map_many_steps(spec, cfg, steps_per_epoch: int,
+                               mesh: jax.sharding.Mesh):
     """Explicit-SPMD twin of train.step.build_many_steps.
 
-    Everything (state, dataset, permutation) is replicated into the
-    shard_map; each device gathers only ITS rows of every minibatch
+    Everything (state, dataset, permutation stack) is replicated into
+    the shard_map; each device gathers only ITS rows of every minibatch
     (rank-offset slice of the epoch permutation), computes local grads,
     and `lax.pmean` reduces them over ICI before the (identical)
     optimizer update on every device. cfg.batch_size is the GLOBAL
     batch; it must divide by the mesh size.
 
-    Returns a jitted fn(state, images, labels, perm, offsets).
+    Returns a jitted fn(state, images, labels, perm_stack, rel_offsets)
+    — same contract as the jit path (see build_many_steps).
     """
     from generative_models_tpu.train import step as step_lib
 
@@ -68,13 +70,19 @@ def build_shard_map_many_steps(spec, cfg, mesh: jax.sharding.Mesh):
             f"global batch {cfg.batch_size} not divisible by mesh size {n_dev}")
     local_b = cfg.batch_size // n_dev
     nb = step_lib.batches_per_step(spec, cfg)
+    rows_per_step = nb * cfg.batch_size
+    rows_per_epoch = steps_per_epoch * rows_per_step
     train_step = step_lib.build_step(spec, cfg, axis_name=DATA_AXIS)
 
-    def gather_local(images, labels, perm, offset):
+    def gather_local(images, labels, perm_stack, rel_offset):
         rank = jax.lax.axis_index(DATA_AXIS)
+        e = rel_offset // rows_per_epoch
+        r = rel_offset % rows_per_epoch
+        perm = jax.lax.dynamic_slice(
+            perm_stack, (e, 0), (1, perm_stack.shape[1]))[0]
         # rows of minibatch j for this device:
-        #   perm[offset + j*B_global + rank*local_b + (0..local_b)]
-        base = offset + rank * local_b
+        #   perm[r + j*B_global + rank*local_b + (0..local_b)]
+        base = r + rank * local_b
         idx = (base + jnp.arange(nb)[:, None] * cfg.batch_size
                + jnp.arange(local_b)[None, :])
         rows = jnp.take(perm, idx.reshape(-1), axis=0)
@@ -84,11 +92,11 @@ def build_shard_map_many_steps(spec, cfg, mesh: jax.sharding.Mesh):
             "label": jnp.take(labels, rows, axis=0).reshape(nb, local_b),
         }
 
-    def many_steps(state, images, labels, perm, offsets):
-        def body(state, offset):
-            return train_step(state, gather_local(images, labels, perm,
-                                                  offset))
-        return jax.lax.scan(body, state, offsets)
+    def many_steps(state, images, labels, perm_stack, rel_offsets):
+        def body(state, rel_offset):
+            return train_step(state, gather_local(images, labels,
+                                                  perm_stack, rel_offset))
+        return jax.lax.scan(body, state, rel_offsets)
 
     smapped = _shard_map(
         many_steps, mesh=mesh,

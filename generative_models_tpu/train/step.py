@@ -196,34 +196,50 @@ def build_step(spec, cfg: Config, axis_name: str | None = None):
 # Many-steps driver: scan over minibatch offsets within an epoch chunk
 # ------------------------------------------------------------------
 
-def build_many_steps(spec, cfg: Config, batch_sharding=None):
-    """Returns fn(state, images, labels, perm, offsets) -> (state, metrics)
-    running len(offsets) outer steps in one XLA computation.
+def build_many_steps(spec, cfg: Config, steps_per_epoch: int,
+                     batch_sharding=None):
+    """Returns fn(state, images, labels, perm_stack, rel_offsets)
+    -> (state, metrics) running len(rel_offsets) outer steps in ONE XLA
+    computation, crossing epoch boundaries freely.
 
-    `offsets[k]` is the row index into the epoch permutation where step
-    k's batches begin. `batch_sharding` is an optional callable
-    `batch_dict -> batch_dict` applying sharding constraints along the
-    batch axis (dim 1 of the [nb, B, ...] layout); with it, XLA splits
-    compute over the mesh and all-reduces grads (params replicated) —
-    see parallel/dp.py.
+    - `perm_stack` [E, N]: one epoch permutation per row (epochs the
+      chunk touches). Reference semantics: shuffle-without-replacement
+      per epoch, partial tail batch dropped — an epoch consumes exactly
+      steps_per_epoch * rows_per_step rows.
+    - `rel_offsets[k]`: rows consumed before step k, RELATIVE to the
+      start of perm_stack's first epoch; epoch index and in-epoch row
+      are derived in-trace, so one dispatch can scan thousands of steps
+      regardless of epoch length (the host↔device dispatch latency is
+      the throughput ceiling for these tiny models).
+    - `batch_sharding`: optional callable applying sharding constraints
+      along the batch axis (dim 1 of [nb, B, ...]) for jit-path DP —
+      see parallel/dp.py.
     """
     train_step = build_step(spec, cfg)
     nb = batches_per_step(spec, cfg)
     bsz = cfg.batch_size
+    rows_per_step = nb * bsz
+    rows_per_epoch = steps_per_epoch * rows_per_step
 
-    def gather(images, labels, perm, offset):
-        data = DeviceData(images=images, labels=labels)
-        flat = gather_batch(data, perm, offset, nb * bsz)
+    def gather(images, labels, perm_stack, rel_offset):
+        e = rel_offset // rows_per_epoch
+        r = rel_offset % rows_per_epoch
+        idx = jax.lax.dynamic_slice(
+            perm_stack, (e, r), (1, rows_per_step)).reshape(rows_per_step)
+        flat = {
+            "image": jnp.take(images, idx, axis=0),
+            "label": jnp.take(labels, idx, axis=0),
+        }
         batches = jax.tree.map(
             lambda a: a.reshape((nb, bsz) + a.shape[1:]), flat)
         if batch_sharding is not None:
             batches = batch_sharding(batches)
         return batches
 
-    def many_steps(state, images, labels, perm, offsets):
-        def body(state, offset):
-            batches = gather(images, labels, perm, offset)
+    def many_steps(state, images, labels, perm_stack, rel_offsets):
+        def body(state, rel_offset):
+            batches = gather(images, labels, perm_stack, rel_offset)
             return train_step(state, batches)
-        return jax.lax.scan(body, state, offsets)
+        return jax.lax.scan(body, state, rel_offsets)
 
     return many_steps

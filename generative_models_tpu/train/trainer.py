@@ -50,9 +50,11 @@ class Trainer:
         # Pallas kernels only make sense on a TPU backend; the XLA twin
         # is the reference implementation everywhere else.
         from generative_models_tpu.ops.linear import pallas_backend_available
-        ops.set_backend(
-            "pallas" if (self.cfg.use_pallas and pallas_backend_available())
-            else "xla")
+        wants_pallas = (
+            self.cfg.use_pallas
+            and not getattr(self.spec, "needs_second_order", False)
+            and pallas_backend_available())
+        ops.set_backend("pallas" if wants_pallas else "xla")
 
         arrs = to_flat_float(data if data is not None else
                              load_dataset(self.cfg))
@@ -71,28 +73,34 @@ class Trainer:
             rng, 3)
         self.state = step_lib.init_state(self.spec, cfg, self._init_rng)
 
-        if self.mesh is not None and cfg.dp_impl == "shard_map":
-            from generative_models_tpu.parallel.dp import (
-                build_shard_map_many_steps,
-            )
-            self._many_steps = build_shard_map_many_steps(
-                self.spec, cfg, self.mesh)
-        else:
-            batch_sharding = None
-            if self.mesh is not None:
-                from generative_models_tpu.parallel.dp import batch_constrainer
-                batch_sharding = batch_constrainer(self.mesh)
-            many = step_lib.build_many_steps(self.spec, cfg, batch_sharding)
-            self._many_steps = jax.jit(many, donate_argnums=(0,))
-        self._sample_fn = jax.jit(
-            lambda params, rng, n: self.spec.sample(params, rng, n, cfg),
-            static_argnums=(2,))
-
         nb = step_lib.batches_per_step(self.spec, cfg)
         self.rows_per_step = nb * cfg.batch_size
         self.steps_per_epoch = self.x_train.shape[0] // self.rows_per_step
         if self.steps_per_epoch < 1:
             raise ValueError("dataset smaller than one training step")
+        self.rows_per_epoch = self.steps_per_epoch * self.rows_per_step
+
+        if self.mesh is not None and cfg.dp_impl == "shard_map":
+            from generative_models_tpu.parallel.dp import (
+                build_shard_map_many_steps,
+            )
+            self._many_steps = build_shard_map_many_steps(
+                self.spec, cfg, self.steps_per_epoch, self.mesh)
+        else:
+            batch_sharding = None
+            if self.mesh is not None:
+                from generative_models_tpu.parallel.dp import batch_constrainer
+                batch_sharding = batch_constrainer(self.mesh)
+            many = step_lib.build_many_steps(
+                self.spec, cfg, self.steps_per_epoch, batch_sharding)
+            self._many_steps = jax.jit(many, donate_argnums=(0,))
+        self._sample_fn = jax.jit(
+            lambda params, rng, n: self.spec.sample(params, rng, n, cfg),
+            static_argnums=(2,))
+        # deterministic per-epoch permutations: perm(e) = permutation
+        # keyed by fold_in(perm_rng, e) — resume replays the same order
+        self._vperm = jax.jit(jax.vmap(
+            lambda k: jax.random.permutation(k, self.x_train.shape[0])))
 
     # --------------------------------------------------------------
     def train(self, num_epochs: Optional[int] = None,
@@ -130,26 +138,30 @@ class Trainer:
         sample_every = (cfg.sample_every if sample_every is None
                         else sample_every)
 
+        # data order continues from the restored global step on resume
+        base_step = int(self.state["step"])
         done = 0
-        pos = 0  # step within current epoch
-        perm = self._next_perm()
         t0 = time.time()
+        # fixed epoch-window size per chunk => one compiled program for
+        # all full chunks (a varying window dim would recompile)
+        win = (cfg.scan_steps * self.rows_per_step - 1
+               ) // self.rows_per_epoch + 2
         while done < total:
-            chunk = min(cfg.scan_steps, self.steps_per_epoch - pos,
-                        total - done)
-            offsets = (pos + jnp.arange(chunk)) * self.rows_per_step
+            chunk = min(cfg.scan_steps, total - done)
+            start_row = (base_step + done) * self.rows_per_step
+            e0 = start_row // self.rows_per_epoch
+            perm_stack = self._perm_window(e0, e0 + win - 1)
+            rel = (start_row - e0 * self.rows_per_epoch
+                   + jnp.arange(chunk) * self.rows_per_step)
             self.state, stacked = self._many_steps(
-                self.state, self.x_train, self.y_train, perm,
-                offsets.astype(jnp.int32))
+                self.state, self.x_train, self.y_train, perm_stack,
+                rel.astype(jnp.int32))
             logger.log_chunk(done, jax.device_get(stacked))
+            prev_epochs = (base_step + done) // self.steps_per_epoch
             done += chunk
-            pos += chunk
-            if pos >= self.steps_per_epoch:
-                pos = 0
-                perm = self._next_perm()
-                epoch = done // self.steps_per_epoch
-                if sample_every == 0:
-                    self.generate_images(tag=f"epoch{epoch:03d}")
+            cur_epochs = (base_step + done) // self.steps_per_epoch
+            if sample_every == 0 and cur_epochs > prev_epochs:
+                self.generate_images(tag=f"epoch{cur_epochs:03d}")
             elif sample_every > 0 and done % sample_every == 0:
                 self.generate_images(tag=f"step{done:06d}")
         jax.block_until_ready(self.state)
@@ -159,9 +171,10 @@ class Trainer:
         self.history = logger.history
         return logger.history
 
-    def _next_perm(self):
-        self._perm_rng, key = jax.random.split(self._perm_rng)
-        return jax.random.permutation(key, self.x_train.shape[0])
+    def _perm_window(self, e0: int, e1: int):
+        keys = jnp.stack([jax.random.fold_in(self._perm_rng, e)
+                          for e in range(e0, e1 + 1)])
+        return self._vperm(keys)
 
     # --------------------------------------------------------------
     def sample(self, n: Optional[int] = None) -> np.ndarray:

@@ -68,7 +68,7 @@ def test_shard_map_batch_not_divisible_raises(tiny_data):
     from generative_models_tpu.losses.registry import get_variant
     cfg = tiny_cfg("nsgan", batch_size=10)
     with pytest.raises(ValueError, match="not divisible"):
-        build_shard_map_many_steps(get_variant("nsgan"), cfg, cpu_mesh(8))
+        build_shard_map_many_steps(get_variant("nsgan"), cfg, 4, cpu_mesh(8))
 
 
 def test_vae_shard_map_trains(tiny_data):
