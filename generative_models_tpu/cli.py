@@ -37,6 +37,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ckpt", default=None, help="checkpoint path "
                    "(save at end; with --resume, restore first)")
     p.add_argument("--echo-every", type=int, default=100)
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (the zoo's sanitizer: "
+                        "fail loudly at the op that produced a NaN)")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() for "
+                        "multi-host DCN runs (args from TPU env)")
+    p.add_argument("--score-samples", action="store_true",
+                   help="train a held-out classifier and report "
+                        "IS-style sample-quality scores at the end")
     return p
 
 
@@ -48,6 +57,12 @@ def main(argv=None) -> int:
         if f.name != "variant" and getattr(args, f.name, None) is not None
     }
     cfg = variant_config(args.variant, **overrides)
+
+    import jax
+    if args.multihost:
+        jax.distributed.initialize()
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     mesh = None
     if cfg.dp > 1:
@@ -79,14 +94,27 @@ def main(argv=None) -> int:
         jax.profiler.stop_trace()
 
     sps = t.steps_done / t.wall_time
+    eval_metrics = t.evaluate("test", max_batches=10)
     print(json.dumps({
         "variant": cfg.variant,
         "steps": t.steps_done,
         "wall_s": round(t.wall_time, 3),
         "steps_per_sec": round(sps, 2),
+        "eval": {k: round(v, 4) for k, v in eval_metrics.items()},
     }))
     t.generate_images(tag="final")
     t.viz_loss()
+    if args.score_samples:
+        from generative_models_tpu.utils.quality import (
+            classifier_accuracy,
+            score_samples,
+            train_classifier,
+        )
+        clf = train_classifier(t.x_train, t.y_train)
+        acc = classifier_accuracy(clf, t.x_test, t.y_test)
+        scores = score_samples(clf, t.sample(1024))
+        print(json.dumps({"classifier_test_acc": round(acc, 4),
+                          **{k: round(v, 4) for k, v in scores.items()}}))
     if args.ckpt:
         print("saved:", t.save_model(args.ckpt))
     return 0

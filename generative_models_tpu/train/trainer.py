@@ -177,6 +177,61 @@ class Trainer:
         return self._vperm(keys)
 
     # --------------------------------------------------------------
+    def evaluate(self, split: str = "test",
+                 max_batches: Optional[int] = None) -> Dict[str, float]:
+        """Loss metrics on a held-out split, no parameter updates — the
+        reference's val/test iterator role. Returns the batch-averaged
+        metrics dict of the variant's loss head(s)."""
+        cfg = self.cfg
+        if split == "test":
+            xs, ys = self.x_test, self.y_test
+        elif split == "train":
+            xs, ys = np.asarray(self.x_train), np.asarray(self.y_train)
+        else:
+            raise ValueError(f"unknown split {split!r}")
+        nb = len(xs) // cfg.batch_size
+        if max_batches:
+            nb = min(nb, max_batches)
+        if nb < 1:
+            raise ValueError("split smaller than one batch")
+
+        if not hasattr(self, "_eval_fn"):
+            spec = self.spec
+
+            def eval_batches(state, images, labels, rng):
+                n_b = images.shape[0] // cfg.batch_size
+
+                def body(carry, i):
+                    r = jax.random.fold_in(rng, i)
+                    sl = jax.lax.dynamic_slice_in_dim(
+                        images, i * cfg.batch_size, cfg.batch_size)
+                    lb = jax.lax.dynamic_slice_in_dim(
+                        labels, i * cfg.batch_size, cfg.batch_size)
+                    batch = {"image": sl, "label": lb}
+                    if spec.adversarial:
+                        _, d_m = spec.d_loss(
+                            state["d_params"], state["g_params"], batch, r,
+                            state["vstate"], cfg)
+                        _, g_m = spec.g_loss(
+                            state["g_params"], state["d_params"], batch, r,
+                            state["vstate"], cfg)
+                        return carry, {**d_m, **g_m}
+                    _, m = spec.loss(state["params"], batch, r, cfg)
+                    return carry, m
+
+                _, ms = jax.lax.scan(body, None, jnp.arange(n_b))
+                return jax.tree.map(lambda a: jnp.mean(a), ms)
+
+            self._eval_fn = jax.jit(eval_batches)
+
+        self._sample_rng, key = jax.random.split(self._sample_rng)
+        out = self._eval_fn(
+            self.state,
+            jnp.asarray(xs[:nb * cfg.batch_size]),
+            jnp.asarray(ys[:nb * cfg.batch_size]), key)
+        return {k: float(v) for k, v in jax.device_get(out).items()}
+
+    # --------------------------------------------------------------
     def sample(self, n: Optional[int] = None) -> np.ndarray:
         """Draw n samples from the generator/decoder prior."""
         n = n or self.cfg.sample_n
