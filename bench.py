@@ -27,9 +27,9 @@ BATCH = 100
 HIDDEN = 400
 Z_DIM = 128
 TORCH_STEPS = 120
-SCAN = 2000
+SCAN = 8000
 JAX_WARMUP = SCAN
-JAX_STEPS = 10 * SCAN
+JAX_STEPS = 5 * SCAN
 
 
 def bench_jax(data):
