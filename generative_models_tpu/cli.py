@@ -27,12 +27,16 @@ def build_parser() -> argparse.ArgumentParser:
         if f.name == "variant":
             continue
         arg = "--" + f.name.replace("_", "-")
-        if f.type == "bool" or isinstance(f.default, bool):
+        # Derive the flag type from the field ANNOTATION, not the default:
+        # Optional[int] fields defaulting to None (epochs) must still parse
+        # as int, or `--epochs 1` would smuggle the string '1' into the
+        # trainer (ADVICE r1, high).
+        ann = str(f.type)
+        if "bool" in ann or isinstance(f.default, bool):
             p.add_argument(arg, dest=f.name, default=None,
                            action=argparse.BooleanOptionalAction)
         else:
-            typ = (int if isinstance(f.default, int)
-                   else float if isinstance(f.default, float) else str)
+            typ = int if "int" in ann else float if "float" in ann else str
             p.add_argument(arg, dest=f.name, default=None, type=typ)
     p.add_argument("--ckpt", default=None, help="checkpoint path "
                    "(save at end; with --resume, restore first)")

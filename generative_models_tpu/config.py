@@ -29,6 +29,11 @@ class Config:
     num_classes: int = 10
     dataset: str = "mnist"         # "mnist" | "synthetic"
     data_dir: str = "data"
+    # Validation rows carved deterministically off the END of the train
+    # split (the reference Trainer takes (train, val, test) iterators,
+    # SURVEY §2.1; torchvision MNIST has no val split, so it comes out
+    # of train). 0 keeps the full train split (round-1 behavior).
+    val_size: int = 0
 
     # --- model --------------------------------------------------------
     z_dim: int = 128               # TO-VERIFY (R-low; some repos use 100)

@@ -58,10 +58,26 @@ class Trainer:
 
         arrs = to_flat_float(data if data is not None else
                              load_dataset(self.cfg))
-        self.x_train = jnp.asarray(arrs["x_train"])
-        self.y_train = jnp.asarray(arrs["y_train"])
         self.x_test = arrs["x_test"]
         self.y_test = arrs["y_test"]
+        x_tr, y_tr = arrs["x_train"], arrs["y_train"]
+        # three-way split (reference Trainer signature takes train/val/
+        # test iterators, SURVEY §2.1): explicit x_val wins; otherwise
+        # cfg.val_size rows are carved deterministically off the end of
+        # train, BEFORE any shuffling, so the carve is seed-independent.
+        if "x_val" in arrs:
+            self.x_val, self.y_val = arrs["x_val"], arrs["y_val"]
+        elif self.cfg.val_size > 0:
+            v = self.cfg.val_size
+            if v >= x_tr.shape[0]:
+                raise ValueError(
+                    f"val_size={v} >= train rows {x_tr.shape[0]}")
+            self.x_val, self.y_val = x_tr[-v:], y_tr[-v:]
+            x_tr, y_tr = x_tr[:-v], y_tr[:-v]
+        else:
+            self.x_val = self.y_val = None
+        self.x_train = jnp.asarray(x_tr)
+        self.y_train = jnp.asarray(y_tr)
 
         self._build()
 
@@ -72,7 +88,25 @@ class Trainer:
         self._init_rng, self._perm_rng, self._sample_rng = jax.random.split(
             rng, 3)
         self.state = step_lib.init_state(self.spec, cfg, self._init_rng)
+        self._build_fns()
 
+    def _rebuild_optimizers(self):
+        """Fresh optimizer states at the current cfg's lrs, PRESERVING
+        params/step/rng/vstate — the reference's `.train(lr)` constructs
+        new optimizers but keeps the model (VERDICT r1 weak #3)."""
+        from generative_models_tpu.train.optim import make_tx
+        cfg = self.cfg
+        st = dict(self.state)
+        if self.spec.adversarial:
+            st["g_opt"] = make_tx(cfg, cfg.g_lr).init(st["g_params"])
+            st["d_opt"] = make_tx(cfg, cfg.d_lr).init(st["d_params"])
+        else:
+            st["opt"] = make_tx(cfg, cfg.g_lr).init(st["params"])
+        self.state = st
+        self._build_fns()
+
+    def _build_fns(self):
+        cfg = self.cfg
         nb = step_lib.batches_per_step(self.spec, cfg)
         self.rows_per_step = nb * cfg.batch_size
         self.steps_per_epoch = self.x_train.shape[0] // self.rows_per_step
@@ -123,8 +157,10 @@ class Trainer:
             rebuild["d_steps"] = D_steps
         if rebuild:
             self.cfg = cfg = cfg.replace(**rebuild)
-            self._build()  # fresh optimizers at the new lrs (reference
-            # constructs optimizers inside .train())
+            # fresh optimizers at the new lrs, model params/step/rng kept
+            # (reference constructs optimizers inside .train() but keeps
+            # the model)
+            self._rebuild_optimizers()
 
         if steps is None:
             epochs = num_epochs if num_epochs is not None else (
@@ -141,6 +177,7 @@ class Trainer:
         # data order continues from the restored global step on resume
         base_step = int(self.state["step"])
         done = 0
+        last_sampled = 0
         t0 = time.time()
         # fixed epoch-window size per chunk => one compiled program for
         # all full chunks (a varying window dim would recompile)
@@ -160,10 +197,17 @@ class Trainer:
             prev_epochs = (base_step + done) // self.steps_per_epoch
             done += chunk
             cur_epochs = (base_step + done) // self.steps_per_epoch
+            if cur_epochs > prev_epochs and self.x_val is not None:
+                vm = self.evaluate("val")
+                logger.log_event({"epoch": cur_epochs,
+                                  **{f"val_{k}": v for k, v in vm.items()}})
             if sample_every == 0 and cur_epochs > prev_epochs:
                 self.generate_images(tag=f"epoch{cur_epochs:03d}")
-            elif sample_every > 0 and done % sample_every == 0:
+            elif sample_every > 0 and done - last_sampled >= sample_every:
+                # chunk boundaries advance by scan_steps, which need not
+                # hit exact multiples of sample_every (ADVICE r1, low)
                 self.generate_images(tag=f"step{done:06d}")
+                last_sampled = done
         jax.block_until_ready(self.state)
         self.wall_time = time.time() - t0
         self.steps_done = total
@@ -185,6 +229,12 @@ class Trainer:
         cfg = self.cfg
         if split == "test":
             xs, ys = self.x_test, self.y_test
+        elif split == "val":
+            if self.x_val is None:
+                raise ValueError(
+                    "no validation split: set Config.val_size > 0 or pass "
+                    "explicit x_val/y_val data")
+            xs, ys = self.x_val, self.y_val
         elif split == "train":
             xs, ys = np.asarray(self.x_train), np.asarray(self.y_train)
         else:

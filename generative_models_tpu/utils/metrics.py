@@ -45,6 +45,15 @@ class MetricsLogger:
                 shown = {k: round(rec[k], 4) for k in arrays}
                 print(f"step {first_step + i}: {shown}")
 
+    def log_event(self, record: Dict[str, Any]):
+        """One standalone JSONL record (e.g. per-epoch val metrics)."""
+        rec = {"ts": time.time(), **record}
+        for k, v in record.items():
+            if isinstance(v, (int, float)):
+                self.history.setdefault(k, []).append(float(v))
+        if self._fh:
+            self._fh.write(json.dumps(rec) + "\n")
+
     def close(self):
         if self._fh:
             self._fh.close()
