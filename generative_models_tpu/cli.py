@@ -74,9 +74,9 @@ def main(argv=None) -> int:
         mesh = make_mesh(cfg.dp)
 
     from generative_models_tpu.train.trainer import Trainer
+    from generative_models_tpu.utils.checkpoint import exists as ckpt_exists
     t = Trainer(config=cfg, mesh=mesh)
-    if args.ckpt and cfg.resume and os.path.exists(
-            args.ckpt if args.ckpt.endswith(".npz") else args.ckpt + ".npz"):
+    if args.ckpt and cfg.resume and ckpt_exists(args.ckpt, cfg.ckpt_backend):
         t.load_model(args.ckpt)
         print(f"resumed from {args.ckpt} at step "
               f"{int(t.state['step'])}")

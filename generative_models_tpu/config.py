@@ -91,6 +91,7 @@ class Config:
     sample_n: int = 64
     out_dir: str = "runs"
     ckpt_every: int = 0            # 0 = only at end
+    ckpt_backend: str = "npz"      # "npz" (stdlib) | "orbax" (async-capable)
     resume: bool = False
     profile: bool = False
 
@@ -104,6 +105,9 @@ class Config:
             raise ValueError(f"optimizer must be adam|rmsprop, got {self.optimizer!r}")
         if self.vae_recon not in ("bce", "mse"):
             raise ValueError(f"vae_recon must be bce|mse, got {self.vae_recon!r}")
+        if self.ckpt_backend not in ("npz", "orbax"):
+            raise ValueError(
+                f"ckpt_backend must be npz|orbax, got {self.ckpt_backend!r}")
         if self.variant == "fgan":
             # fail fast with a clean message instead of a mid-trace error
             from generative_models_tpu.losses.fgan import get_divergence

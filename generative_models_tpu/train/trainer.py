@@ -308,10 +308,11 @@ class Trainer:
     def save_model(self, path: str) -> str:
         """Checkpoint the FULL train state (params, both optimizer
         states, step, rng, variant state) — unlike the reference's
-        params-only torch.save (SURVEY.md §6)."""
-        from generative_models_tpu.utils.checkpoint import save_state
-        return save_state(path, self.state)
+        params-only torch.save (SURVEY.md §6). Backend per
+        `Config.ckpt_backend` ("npz" | "orbax")."""
+        from generative_models_tpu.utils.checkpoint import save
+        return save(path, self.state, self.cfg.ckpt_backend)
 
     def load_model(self, path: str) -> None:
-        from generative_models_tpu.utils.checkpoint import restore_state
-        self.state = restore_state(path, self.state)
+        from generative_models_tpu.utils.checkpoint import restore
+        self.state = restore(path, self.state, self.cfg.ckpt_backend)

@@ -23,9 +23,13 @@ def save_state(path: str, state: Any) -> str:
 def restore_state(path: str, template: Any) -> Any:
     import orbax.checkpoint as ocp
     path = os.path.abspath(path)
+
+    def as_abstract(x):
+        # orbax deserialization requires a concrete sharding per leaf;
+        # take it from the template's live arrays (replicated/DP layouts
+        # restore onto the same mesh they were initialized on).
+        a = jax.numpy.asarray(x)
+        return jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=a.sharding)
+
     with ocp.StandardCheckpointer() as ckptr:
-        abstract = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(jax.numpy.shape(x),
-                                           jax.numpy.asarray(x).dtype),
-            template)
-        return ckptr.restore(path, abstract)
+        return ckptr.restore(path, jax.tree.map(as_abstract, template))
