@@ -65,6 +65,12 @@ class AdversarialSpec:
     # pass through custom_vjp Pallas kernels (no forward-mode rule), so
     # the trainer pins the XLA op path for these variants.
     needs_second_order: bool = False
+    # True for losses that couple samples through batch statistics
+    # (RaGAN's relativistic means, FisherGAN's omega constraint): their
+    # loss fns take an extra `axis_name=` kwarg and pmean those
+    # statistics over the DP mesh axis under shard_map, keeping the
+    # trained objective identical to the single-device/jit-path one.
+    batch_coupled: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -74,3 +80,5 @@ class SingleModelSpec:
     loss: Callable         # (params, batch, rng, cfg) -> (loss, metrics)
     sample: Callable       # (params, rng, n, cfg) -> [n, image_dim]
     adversarial: bool = False
+    # see AdversarialSpec.batch_coupled (BIR-VAE's batch norm)
+    batch_coupled: bool = False

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from generative_models_tpu.losses.base import SingleModelSpec
+from generative_models_tpu.losses.common import global_moments_axis0
 from generative_models_tpu.models import nets
 from generative_models_tpu.models.mlp import linear_init, mlp_apply, mlp_init
 
@@ -44,12 +45,13 @@ def noise_sigma(cfg) -> float:
     return float(4.0 ** (-cfg.birvae_bits / cfg.latent_dim)) ** 0.5
 
 
-def loss(params, batch, rng, cfg):
+def loss(params, batch, rng, cfg, axis_name=None):
     x = batch["image"]
     mu = encode(params, x, cfg)
-    # batch normalization to unit power (no learned scale/shift)
-    mean = jnp.mean(mu, axis=0, keepdims=True)
-    var = jnp.var(mu, axis=0, keepdims=True)
+    # batch normalization to unit power (no learned scale/shift); the
+    # moments are GLOBAL-batch statistics (pmean'd over the DP mesh
+    # axis under shard_map) so the rate bound holds at the global batch
+    mean, var = global_moments_axis0(mu, axis_name)
     mu_hat = (mu - mean) * jax.lax.rsqrt(var + 1e-5)
     z = mu_hat + noise_sigma(cfg) * jax.random.normal(rng, mu_hat.shape)
     if cfg.vae_recon == "bce":
@@ -75,4 +77,5 @@ BIRVAE = SingleModelSpec(
     init_params=init_params,
     loss=loss,
     sample=sample,
+    batch_coupled=True,
 )

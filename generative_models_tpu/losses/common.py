@@ -34,3 +34,31 @@ def ones_like_logits(logits):
 
 def zeros_like_logits(logits):
     return jnp.zeros_like(logits)
+
+
+# --- global-batch statistics under data parallelism -------------------
+# Losses that couple samples through batch statistics (RaGAN's E[C],
+# FisherGAN's omega, BIR-VAE's batch norm) must compute those statistics
+# over the GLOBAL batch. Under shard_map each device sees only its
+# shard, so the shard statistic is pmean'd over the mesh axis; under the
+# jit path (axis_name=None) the batch is already global and these are
+# plain means. Equal shard sizes make pmean-of-means the exact global
+# mean.
+
+def global_mean(x, axis_name=None):
+    """Scalar mean of x over ALL samples of the global batch."""
+    m = jnp.mean(x)
+    if axis_name is not None:
+        m = jax.lax.pmean(m, axis_name)
+    return m
+
+
+def global_moments_axis0(x, axis_name=None, eps: float = 0.0):
+    """(mean, var) of x per feature (axis 0 = batch), over the global
+    batch. Var uses E[x^2] - E[x]^2 so it needs only two pmeans."""
+    m = jnp.mean(x, axis=0, keepdims=True)
+    m2 = jnp.mean(x * x, axis=0, keepdims=True)
+    if axis_name is not None:
+        m = jax.lax.pmean(m, axis_name)
+        m2 = jax.lax.pmean(m2, axis_name)
+    return m, jnp.maximum(m2 - m * m, eps)

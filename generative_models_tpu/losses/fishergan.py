@@ -21,18 +21,21 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from generative_models_tpu.losses.base import AdversarialSpec
-from generative_models_tpu.losses.common import compute_noise
+from generative_models_tpu.losses.common import compute_noise, global_mean
 from generative_models_tpu.models import nets
 
 
-def _d_loss(d_params, g_params, batch, rng, vstate, cfg):
+def _d_loss(d_params, g_params, batch, rng, vstate, cfg, axis_name=None):
     x = batch["image"]
     z = compute_noise(rng, x.shape[0], cfg.z_dim)
     fake = nets.generator_apply(g_params, z, cfg)
     f_real = nets.discriminator_apply(d_params, x, cfg)
     f_fake = nets.discriminator_apply(d_params, fake, cfg)
-    ipm = jnp.mean(f_real) - jnp.mean(f_fake)
-    omega = 0.5 * jnp.mean(f_real ** 2) + 0.5 * jnp.mean(f_fake ** 2)
+    # the omega constraint couples samples nonlinearly: its expectations
+    # must be over the GLOBAL batch (pmean'd under shard_map)
+    ipm = global_mean(f_real, axis_name) - global_mean(f_fake, axis_name)
+    omega = 0.5 * global_mean(f_real ** 2, axis_name) + \
+        0.5 * global_mean(f_fake ** 2, axis_name)
     constraint = 1.0 - omega
     lam = vstate["lam"]
     lagrangian = ipm + lam * constraint - 0.5 * cfg.fisher_rho * constraint ** 2
@@ -48,10 +51,13 @@ def _d_state_update(vstate, d_metrics, cfg):
     return {"lam": lam}
 
 
-def _g_loss(g_params, d_params, batch, rng, vstate, cfg):
+def _g_loss(g_params, d_params, batch, rng, vstate, cfg, axis_name=None):
     z = compute_noise(rng, batch["image"].shape[0], cfg.z_dim)
     fake = nets.generator_apply(g_params, z, cfg)
-    loss = -jnp.mean(nets.discriminator_apply(d_params, fake, cfg))
+    # linear in per-sample terms (grad-pmean alone would be correct);
+    # global_mean keeps the reported metric identical across shards
+    loss = -global_mean(nets.discriminator_apply(d_params, fake, cfg),
+                        axis_name)
     return loss, {"g_loss": loss}
 
 
@@ -73,4 +79,5 @@ FISHERGAN = AdversarialSpec(
     d_state_update=_d_state_update,
     init_vstate=_init_vstate,
     sample=_sample,
+    batch_coupled=True,
 )

@@ -19,30 +19,39 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from generative_models_tpu.losses.base import AdversarialSpec
-from generative_models_tpu.losses.common import bce_logits_mean, compute_noise
+from generative_models_tpu.losses.common import (
+    bce_logits_mean,
+    compute_noise,
+    global_mean,
+)
 from generative_models_tpu.models import nets
 
 
-def _rel_logits(d_params, g_params, batch, rng, cfg):
+def _rel_logits(d_params, g_params, batch, rng, cfg, axis_name=None):
     x = batch["image"]
     z = compute_noise(rng, x.shape[0], cfg.z_dim)
     fake = nets.generator_apply(g_params, z, cfg)
     c_real = nets.discriminator_apply(d_params, x, cfg)
     c_fake = nets.discriminator_apply(d_params, fake, cfg)
-    d_real = c_real - jnp.mean(c_fake)
-    d_fake = c_fake - jnp.mean(c_real)
+    # E_fake[C] / E_real[C] are GLOBAL-batch means (pmean'd over the DP
+    # mesh axis under shard_map): the relativistic average must not
+    # silently become a per-shard average.
+    d_real = c_real - global_mean(c_fake, axis_name)
+    d_fake = c_fake - global_mean(c_real, axis_name)
     return d_real, d_fake
 
 
-def _d_loss(d_params, g_params, batch, rng, vstate, cfg):
-    d_real, d_fake = _rel_logits(d_params, g_params, batch, rng, cfg)
+def _d_loss(d_params, g_params, batch, rng, vstate, cfg, axis_name=None):
+    d_real, d_fake = _rel_logits(d_params, g_params, batch, rng, cfg,
+                                 axis_name)
     loss = bce_logits_mean(d_real, jnp.ones_like(d_real)) + \
         bce_logits_mean(d_fake, jnp.zeros_like(d_fake))
     return loss, {"d_loss": loss}
 
 
-def _g_loss(g_params, d_params, batch, rng, vstate, cfg):
-    d_real, d_fake = _rel_logits(d_params, g_params, batch, rng, cfg)
+def _g_loss(g_params, d_params, batch, rng, vstate, cfg, axis_name=None):
+    d_real, d_fake = _rel_logits(d_params, g_params, batch, rng, cfg,
+                                 axis_name)
     loss = bce_logits_mean(d_fake, jnp.ones_like(d_fake)) + \
         bce_logits_mean(d_real, jnp.zeros_like(d_real))
     return loss, {"g_loss": loss}
@@ -60,4 +69,5 @@ RAGAN = AdversarialSpec(
     d_loss=_d_loss,
     g_loss=_g_loss,
     sample=_sample,
+    batch_coupled=True,
 )

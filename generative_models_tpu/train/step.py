@@ -19,6 +19,7 @@ from the epoch permutation on device (data/pipeline.py).
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Tuple
 
 import jax
@@ -91,8 +92,14 @@ def build_adversarial_step(spec: AdversarialSpec, cfg: Config,
     independent per shard."""
     g_tx = make_tx(cfg, cfg.g_lr)
     d_tx = make_tx(cfg, cfg.d_lr)
-    d_grad = jax.value_and_grad(spec.d_loss, has_aux=True)
-    g_grad = jax.value_and_grad(spec.g_loss, has_aux=True)
+    d_loss_fn, g_loss_fn = spec.d_loss, spec.g_loss
+    if spec.batch_coupled and axis_name is not None:
+        # batch-statistic-coupled losses pmean their statistics over the
+        # mesh axis so shard_map trains the same objective as jit/single
+        d_loss_fn = functools.partial(d_loss_fn, axis_name=axis_name)
+        g_loss_fn = functools.partial(g_loss_fn, axis_name=axis_name)
+    d_grad = jax.value_and_grad(d_loss_fn, has_aux=True)
+    g_grad = jax.value_and_grad(g_loss_fn, has_aux=True)
     d_steps = max(cfg.d_steps, 1)
 
     def reduce_(tree):
@@ -161,7 +168,10 @@ def build_adversarial_step(spec: AdversarialSpec, cfg: Config,
 def build_single_step(spec: SingleModelSpec, cfg: Config,
                       axis_name: str | None = None):
     tx = make_tx(cfg, cfg.g_lr)
-    grad_fn = jax.value_and_grad(spec.loss, has_aux=True)
+    loss_fn = spec.loss
+    if spec.batch_coupled and axis_name is not None:
+        loss_fn = functools.partial(loss_fn, axis_name=axis_name)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def train_step(state: State, batches) -> Tuple[State, Dict]:
         """batches: batch pytree with leading dims [1, B] (uniform with
