@@ -1,9 +1,12 @@
-"""Per-variant throughput sweep on the attached TPU chip.
+"""Per-variant throughput sweep on the attached TPU chip, with a
+PyTorch-eager baseline column per variant (benchmarks/torch_replicas.py)
+— the BASELINE.json north star is "≥10x per-chip G+D step throughput"
+PER VARIANT, so every row measures both sides.
 
-`python benchmarks/sweep.py [--steps N]` — trains every variant at its
-registry config (batch 100, full-size MLPs), measures steady-state
-G+D (or single-model) steps/sec/chip after a warmup chunk, and writes
-benchmarks/sweep_results.json + a markdown table to stdout.
+`python benchmarks/sweep.py [--steps N] [--no-torch]` — trains every
+variant at its registry config (batch 100, full-size MLPs), measures
+steady-state G+D (or single-model) steps/sec/chip after a warmup chunk,
+and writes benchmarks/sweep_results.json + a markdown table to stdout.
 """
 
 from __future__ import annotations
@@ -12,8 +15,20 @@ import argparse
 import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def bench_torch_variant(variant, cfg, data, steps=60, warmup=5):
+    from benchmarks.torch_replicas import make_replica
+    step = make_replica(variant, cfg, data["x_train"], data["y_train"])
+    for _ in range(warmup):
+        step()
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        step()
+    return steps / (time.perf_counter() - t0)
 
 
 def main():
@@ -21,6 +36,9 @@ def main():
     ap.add_argument("--steps", type=int, default=4000)
     ap.add_argument("--scan", type=int, default=1000)
     ap.add_argument("--variants", nargs="*", default=None)
+    ap.add_argument("--no-torch", action="store_true",
+                    help="skip the torch-eager baseline column")
+    ap.add_argument("--torch-steps", type=int, default=60)
     args = ap.parse_args()
 
     from generative_models_tpu.config import variant_config
@@ -46,6 +64,11 @@ def main():
             "g_loss": (round(float(hist["g_loss"][-1]), 4)
                        if "g_loss" in hist else None),
         }
+        if not args.no_torch:
+            tsps = bench_torch_variant(variant, cfg, data,
+                                       steps=args.torch_steps)
+            row["torch_steps_per_sec"] = round(tsps, 2)
+            row["ratio"] = round(row["steps_per_sec"] / tsps, 1)
         results.append(row)
         print(json.dumps(row), flush=True)
 
@@ -54,10 +77,14 @@ def main():
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
 
-    print("\n| variant | d_steps | steps/sec/chip | final D/loss | final G |")
-    print("|---|---|---|---|---|")
+    cols = "| variant | d_steps | steps/sec/chip | torch-eager | ratio | " \
+           "final D/loss | final G |"
+    print("\n" + cols)
+    print("|---|---|---|---|---|---|---|")
     for r in results:
         print(f"| {r['variant']} | {r['d_steps']} | {r['steps_per_sec']} "
+              f"| {r.get('torch_steps_per_sec', '-')} "
+              f"| {r.get('ratio', '-')} "
               f"| {r['final_loss']} | {r['g_loss']} |")
 
 

@@ -1,0 +1,347 @@
+"""PyTorch-eager replicas of every variant's train step — the
+per-variant throughput BASELINE for benchmarks/sweep.py.
+
+The reference is a per-file eager torch loop (SURVEY.md §4.1) with a
+host->device copy per batch; the mount is empty, so each replica is
+written from the paper's formulas (same as the framework's loss heads)
+with the reference's update structure: d_steps critic updates on fresh
+batches, then one G update, two optimizers. These are SPEED baselines
+(not parity oracles — tests/test_trajectory_parity*.py do parity);
+they must match the reference's per-step WORK, so every replica keeps
+eager per-op dispatch, per-batch indexing+clone, and the documented
+per-variant optimizer settings.
+
+torch is CPU-only in this image; the reference itself also ran CPU or
+a single GPU.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import torch
+import torch.nn as nn
+
+BCE = nn.BCEWithLogitsLoss()
+
+
+def _G(z_dim, h, out=784):
+    return nn.Sequential(nn.Linear(z_dim, h), nn.ReLU(),
+                         nn.Linear(h, out), nn.Sigmoid())
+
+
+def _D(in_dim, h, out=1, sigmoid_out=False):
+    layers = [nn.Linear(in_dim, h), nn.LeakyReLU(0.2), nn.Linear(h, out)]
+    if sigmoid_out:
+        layers.append(nn.Sigmoid())
+    return nn.Sequential(*layers)
+
+
+def _adam(ps, lr=2e-4, betas=(0.9, 0.999)):
+    return torch.optim.Adam(ps, lr=lr, betas=betas)
+
+
+class _Batcher:
+    """Reference-style per-batch host copy from a shuffled pool."""
+
+    def __init__(self, x, y, batch):
+        self.x, self.y, self.b = x, y, batch
+        self.perm = torch.randperm(x.shape[0])
+        self.k = 0
+
+    def next(self):
+        n = self.x.shape[0]
+        s = (self.k * self.b) % (n - self.b)
+        self.k += 1
+        idx = self.perm[s:s + self.b]
+        return self.x[idx].clone(), self.y[idx].clone()
+
+
+def _gp(D, x_hat, lam=10.0):
+    x_hat = x_hat.requires_grad_(True)
+    grads = torch.autograd.grad(D(x_hat).sum(), x_hat, create_graph=True)[0]
+    norms = torch.sqrt((grads * grads).sum(dim=1) + 1e-12)
+    return lam * ((norms - 1.0) ** 2).mean()
+
+
+def make_replica(variant: str, cfg, x_train: np.ndarray,
+                 y_train: np.ndarray):
+    """Returns step(): one full G+D train step (d_steps critic updates +
+    one G update), eager, reference idiom."""
+    torch.manual_seed(0)
+    B, H, ZD = cfg.batch_size, cfg.hidden_dim, cfg.z_dim
+    x = torch.from_numpy(np.ascontiguousarray(
+        x_train.reshape(len(x_train), -1).astype("float32")))
+    if x_train.dtype == np.uint8:
+        x = x / 255.0
+    y = torch.from_numpy(y_train.astype("int64"))
+    bat = _Batcher(x, y, B)
+
+    # ----- VAE family (single objective) ------------------------------
+    if variant == "vae":
+        HV, LD = cfg.vae_hidden_dim, cfg.latent_dim
+        trunk = nn.Sequential(nn.Linear(784, HV), nn.ReLU())
+        mu_l, lv_l = nn.Linear(HV, LD), nn.Linear(HV, LD)
+        dec = nn.Sequential(nn.Linear(LD, HV), nn.ReLU(),
+                            nn.Linear(HV, 784))
+        opt = _adam([*trunk.parameters(), *mu_l.parameters(),
+                     *lv_l.parameters(), *dec.parameters()], cfg.g_lr)
+        bce_none = nn.BCEWithLogitsLoss(reduction="none")
+
+        def step():
+            xb, _ = bat.next()
+            h = trunk(xb)
+            mu, logvar = mu_l(h), lv_l(h)
+            z = mu + torch.exp(0.5 * logvar) * torch.randn_like(mu)
+            recon = bce_none(dec(z), xb).sum(dim=1).mean()
+            kl = (-0.5 * (1 + logvar - mu ** 2
+                          - logvar.exp()).sum(dim=1)).mean()
+            loss = recon + kl
+            opt.zero_grad(); loss.backward(); opt.step()
+        return step
+
+    if variant == "birvae":
+        HV, LD = cfg.vae_hidden_dim, cfg.latent_dim
+        sigma = float(4.0 ** (-cfg.birvae_bits / LD)) ** 0.5
+        trunk = nn.Sequential(nn.Linear(784, HV), nn.ReLU())
+        mu_l = nn.Linear(HV, LD)
+        dec = nn.Sequential(nn.Linear(LD, HV), nn.ReLU(),
+                            nn.Linear(HV, 784), nn.Sigmoid())
+        opt = _adam([*trunk.parameters(), *mu_l.parameters(),
+                     *dec.parameters()], cfg.g_lr)
+
+        def step():
+            xb, _ = bat.next()
+            mu = mu_l(trunk(xb))
+            mu_hat = (mu - mu.mean(0, keepdim=True)) / torch.sqrt(
+                mu.var(0, unbiased=False, keepdim=True) + 1e-5)
+            z = mu_hat + sigma * torch.randn_like(mu_hat)
+            loss = ((dec(z) - xb) ** 2).sum(dim=1).mean()
+            opt.zero_grad(); loss.backward(); opt.step()
+        return step
+
+    # ----- adversarial family -----------------------------------------
+    d_steps = max(cfg.d_steps, 1)
+
+    if variant == "infogan":
+        CAT, CONT = cfg.info_cat_dim, cfg.info_cont_dim
+        G = _G(ZD + CAT + CONT, H)
+        trunk = nn.Sequential(nn.Linear(784, H), nn.LeakyReLU(0.2))
+        d_head = nn.Linear(H, 1)
+        q_head = nn.Linear(H, CAT + 2 * CONT)
+        g_opt = _adam(G.parameters(), cfg.g_lr)
+        d_opt = _adam([*trunk.parameters(), *d_head.parameters(),
+                       *q_head.parameters()], cfg.d_lr)
+        ce = nn.CrossEntropyLoss()
+
+        def codes():
+            z = torch.randn(B, ZD)
+            cat = torch.randint(0, CAT, (B,))
+            oh = torch.nn.functional.one_hot(cat, CAT).float()
+            cont = torch.rand(B, CONT) * 2 - 1
+            return torch.cat([z, oh, cont], dim=1), cat, cont
+
+        def mi(fake, cat, cont):
+            q = q_head(trunk(fake))
+            nll = (0.5 * (q[:, CAT + CONT:]
+                          + (cont - q[:, CAT:CAT + CONT]) ** 2
+                          / q[:, CAT + CONT:].exp())).mean()
+            return ce(q[:, :CAT], cat) + nll
+
+        def step():
+            for _ in range(d_steps):
+                xb, _ = bat.next()
+                zc, cat, cont = codes()
+                fake = G(zc).detach()
+                d_loss = (BCE(d_head(trunk(xb)).squeeze(1), torch.ones(B))
+                          + BCE(d_head(trunk(fake)).squeeze(1),
+                                torch.zeros(B))
+                          + cfg.info_lambda * mi(fake, cat, cont))
+                d_opt.zero_grad(); d_loss.backward(); d_opt.step()
+            zc, cat, cont = codes()
+            fake = G(zc)
+            g_loss = BCE(d_head(trunk(fake)).squeeze(1), torch.ones(B)) + \
+                cfg.info_lambda * mi(fake, cat, cont)
+            g_opt.zero_grad(); g_loss.backward(); g_opt.step()
+        return step
+
+    if variant == "began":
+        G = _G(ZD, H)
+        AE = nn.Sequential(nn.Linear(784, cfg.began_ae_hidden),
+                           nn.LeakyReLU(0.2),
+                           nn.Linear(cfg.began_ae_hidden, 784),
+                           nn.Sigmoid())
+        g_opt, d_opt = _adam(G.parameters(), cfg.g_lr), _adam(
+            AE.parameters(), cfg.d_lr)
+        state = {"k": cfg.began_k0}
+
+        def energy(v):
+            return (v - AE(v)).abs().mean(dim=1).mean()
+
+        def step():
+            for _ in range(d_steps):
+                xb, _ = bat.next()
+                l_real = energy(xb)
+                l_fake = energy(G(torch.randn(B, ZD)).detach())
+                d_loss = l_real - state["k"] * l_fake
+                d_opt.zero_grad(); d_loss.backward(); d_opt.step()
+            g_loss = energy(G(torch.randn(B, ZD)))
+            g_opt.zero_grad(); g_loss.backward(); g_opt.step()
+            state["k"] = float(np.clip(
+                state["k"] + cfg.began_lambda_k
+                * (cfg.began_gamma * l_real.item() - g_loss.item()),
+                0.0, 1.0))
+        return step
+
+    # conditional input sizes
+    g_in = ZD + (cfg.num_classes if variant == "cgan" else 0)
+    d_in = 784 + (cfg.num_classes if variant == "cgan" else 0)
+    G = _G(g_in, H)
+    D = _D(d_in, H)
+    if cfg.optimizer == "rmsprop":
+        g_opt = torch.optim.RMSprop(G.parameters(), lr=cfg.g_lr)
+        d_opt = torch.optim.RMSprop(D.parameters(), lr=cfg.d_lr)
+    else:
+        g_opt = _adam(G.parameters(), cfg.g_lr, (cfg.adam_b1, cfg.adam_b2))
+        d_opt = _adam(D.parameters(), cfg.d_lr, (cfg.adam_b1, cfg.adam_b2))
+
+    def d_update(loss):
+        d_opt.zero_grad(); loss.backward(); d_opt.step()
+
+    def g_update(loss):
+        g_opt.zero_grad(); loss.backward(); g_opt.step()
+
+    if variant in ("nsgan", "mmgan"):
+        def step():
+            for _ in range(d_steps):
+                xb, _ = bat.next()
+                fake = G(torch.randn(B, ZD)).detach()
+                d_update(BCE(D(xb).squeeze(1), torch.ones(B))
+                         + BCE(D(fake).squeeze(1), torch.zeros(B)))
+            l_fake = D(G(torch.randn(B, ZD))).squeeze(1)
+            if variant == "nsgan":
+                g_update(BCE(l_fake, torch.ones(B)))
+            else:  # saturating: min log(1 - D(G(z))) = -BCE(l, 0)
+                g_update(-BCE(l_fake, torch.zeros(B)))
+        return step
+
+    if variant == "cgan":
+        def onehot(yb):
+            return torch.nn.functional.one_hot(yb, cfg.num_classes).float()
+
+        def step():
+            for _ in range(d_steps):
+                xb, yb = bat.next()
+                oh = onehot(yb)
+                fake = G(torch.cat([torch.randn(B, ZD), oh], 1)).detach()
+                d_update(
+                    BCE(D(torch.cat([xb, oh], 1)).squeeze(1), torch.ones(B))
+                    + BCE(D(torch.cat([fake, oh], 1)).squeeze(1),
+                          torch.zeros(B)))
+            oh = onehot(yb)
+            fake = G(torch.cat([torch.randn(B, ZD), oh], 1))
+            g_update(BCE(D(torch.cat([fake, oh], 1)).squeeze(1),
+                         torch.ones(B)))
+        return step
+
+    if variant == "lsgan":
+        def step():
+            for _ in range(d_steps):
+                xb, _ = bat.next()
+                fake = G(torch.randn(B, ZD)).detach()
+                d_update(0.5 * ((D(xb).squeeze(1) - 1) ** 2).mean()
+                         + 0.5 * (D(fake).squeeze(1) ** 2).mean())
+            g_update(0.5 * ((D(G(torch.randn(B, ZD))).squeeze(1) - 1)
+                            ** 2).mean())
+        return step
+
+    if variant == "wgan":
+        c = cfg.wgan_clip
+
+        def step():
+            for _ in range(d_steps):
+                xb, _ = bat.next()
+                fake = G(torch.randn(B, ZD)).detach()
+                d_update(D(fake).mean() - D(xb).mean())
+                with torch.no_grad():
+                    for p in D.parameters():
+                        p.clamp_(-c, c)
+            g_update(-D(G(torch.randn(B, ZD))).mean())
+        return step
+
+    if variant == "wgangp":
+        def step():
+            for _ in range(d_steps):
+                xb, _ = bat.next()
+                fake = G(torch.randn(B, ZD)).detach()
+                eps = torch.rand(B, 1)
+                d_update(D(fake).mean() - D(xb).mean()
+                         + _gp(D, eps * xb + (1 - eps) * fake,
+                               cfg.gp_lambda))
+            g_update(-D(G(torch.randn(B, ZD))).mean())
+        return step
+
+    if variant == "dragan":
+        def step():
+            for _ in range(d_steps):
+                xb, _ = bat.next()
+                fake = G(torch.randn(B, ZD)).detach()
+                x_hat = xb + cfg.dragan_noise_scale * xb.std() \
+                    * torch.rand_like(xb)
+                d_update(BCE(D(xb).squeeze(1), torch.ones(B))
+                         + BCE(D(fake).squeeze(1), torch.zeros(B))
+                         + _gp(D, x_hat, cfg.gp_lambda))
+            g_update(BCE(D(G(torch.randn(B, ZD))).squeeze(1),
+                         torch.ones(B)))
+        return step
+
+    if variant == "ragan":
+        def step():
+            for _ in range(d_steps):
+                xb, _ = bat.next()
+                fake = G(torch.randn(B, ZD)).detach()
+                c_r, c_f = D(xb).squeeze(1), D(fake).squeeze(1)
+                d_update(BCE(c_r - c_f.mean(), torch.ones(B))
+                         + BCE(c_f - c_r.mean(), torch.zeros(B)))
+            fake = G(torch.randn(B, ZD))
+            c_r, c_f = D(xb).squeeze(1), D(fake).squeeze(1)
+            g_update(BCE(c_f - c_r.mean(), torch.ones(B))
+                     + BCE(c_r - c_f.mean(), torch.zeros(B)))
+        return step
+
+    if variant == "fgan":  # jensen_shannon default pair
+        softplus = nn.Softplus()
+
+        def g_f(v):
+            return float(np.log(2.0)) - softplus(-v)
+
+        def conj(t):
+            return -torch.log(2.0 - torch.exp(t))
+
+        def step():
+            for _ in range(d_steps):
+                xb, _ = bat.next()
+                fake = G(torch.randn(B, ZD)).detach()
+                bound = g_f(D(xb).squeeze(1)).mean() - \
+                    conj(g_f(D(fake).squeeze(1))).mean()
+                d_update(-bound)
+            g_update(-conj(g_f(D(G(torch.randn(B, ZD))).squeeze(1))).mean())
+        return step
+
+    if variant == "fishergan":
+        state = {"lam": 0.0}
+        rho = cfg.fisher_rho
+
+        def step():
+            for _ in range(d_steps):
+                xb, _ = bat.next()
+                fake = G(torch.randn(B, ZD)).detach()
+                f_r, f_f = D(xb).squeeze(1), D(fake).squeeze(1)
+                ipm = f_r.mean() - f_f.mean()
+                omega = 0.5 * (f_r ** 2).mean() + 0.5 * (f_f ** 2).mean()
+                con = 1.0 - omega
+                d_update(-(ipm + state["lam"] * con - 0.5 * rho * con ** 2))
+                state["lam"] -= rho * con.item()
+            g_update(-D(G(torch.randn(B, ZD))).mean())
+        return step
+
+    raise ValueError(f"no torch replica for variant {variant!r}")
