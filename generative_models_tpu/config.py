@@ -74,6 +74,11 @@ class Config:
     # --- numerics / performance ----------------------------------------
     dtype: str = "float32"         # activation compute dtype; params stay f32
     use_pallas: bool = True        # Pallas kernels on TPU; XLA twin elsewhere
+    # Measured end-to-end crossover (benchmarks/crossover_results.json):
+    # the whole-MLP Pallas kernel wins at the zoo batch (100: +6.5%) and
+    # loses to XLA's own tiling at DP-scale batches (512-8192: -3..-23%),
+    # so Pallas engages only at batch <= this bound; 0 forces it always.
+    pallas_max_batch: int = 256
     # Train steps fused per host dispatch (one lax.scan). The MNIST MLPs
     # are dispatch-bound: measured on the v5e tunnel, steady-state
     # throughput is ~1.1k steps/s at 100, ~6k at 1000, ~8.7k at 2000.

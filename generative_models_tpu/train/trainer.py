@@ -48,11 +48,16 @@ class Trainer:
         self.mesh = mesh
 
         # Pallas kernels only make sense on a TPU backend; the XLA twin
-        # is the reference implementation everywhere else.
+        # is the reference implementation everywhere else. The kernel
+        # wins end-to-end only at small batches (measured crossover,
+        # benchmarks/crossover.py) — above pallas_max_batch XLA's own
+        # tiling is faster, so the backend choice is data-driven.
         from generative_models_tpu.ops.linear import pallas_backend_available
         wants_pallas = (
             self.cfg.use_pallas
             and not getattr(self.spec, "needs_second_order", False)
+            and (self.cfg.pallas_max_batch <= 0
+                 or self.cfg.batch_size <= self.cfg.pallas_max_batch)
             and pallas_backend_available())
         ops.set_backend("pallas" if wants_pallas else "xla")
 
