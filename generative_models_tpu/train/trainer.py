@@ -188,6 +188,13 @@ class Trainer:
         # all full chunks (a varying window dim would recompile)
         win = (cfg.scan_steps * self.rows_per_step - 1
                ) // self.rows_per_epoch + 2
+        # Metric fetches are DEFERRED: jax dispatch is async, so not
+        # calling device_get inside the loop lets XLA queue chunk N+1
+        # while N executes — over the axon tunnel each synchronous fetch
+        # costs a ~100 ms round-trip that would otherwise serialize the
+        # dispatches. Fetch-now only when the host needs values this
+        # iteration (per-step echo, epoch-boundary sampling/val).
+        pending: list = []
         while done < total:
             chunk = min(cfg.scan_steps, total - done)
             start_row = (base_step + done) * self.rows_per_step
@@ -198,10 +205,19 @@ class Trainer:
             self.state, stacked = self._many_steps(
                 self.state, self.x_train, self.y_train, perm_stack,
                 rel.astype(jnp.int32))
-            logger.log_chunk(done, jax.device_get(stacked))
             prev_epochs = (base_step + done) // self.steps_per_epoch
             done += chunk
             cur_epochs = (base_step + done) // self.steps_per_epoch
+            epoch_work = cur_epochs > prev_epochs and (
+                self.x_val is not None or sample_every == 0)
+            if echo_every or epoch_work or (
+                    sample_every > 0 and done - last_sampled >= sample_every):
+                for first, st in pending:
+                    logger.log_chunk(first, jax.device_get(st))
+                pending.clear()
+                logger.log_chunk(done - chunk, jax.device_get(stacked))
+            else:
+                pending.append((done - chunk, stacked))
             if cur_epochs > prev_epochs and self.x_val is not None:
                 vm = self.evaluate("val")
                 logger.log_event({"epoch": cur_epochs,
@@ -215,6 +231,8 @@ class Trainer:
                 last_sampled = done
         jax.block_until_ready(self.state)
         self.wall_time = time.time() - t0
+        for first, st in pending:
+            logger.log_chunk(first, jax.device_get(st))
         self.steps_done = total
         logger.close()
         self.history = logger.history
