@@ -91,7 +91,8 @@ def main(argv=None) -> int:
     t.train(num_epochs=cfg.epochs,
             steps=None if cfg.epochs else cfg.steps,
             log_path=os.path.join(run_dir, "metrics.jsonl"),
-            echo_every=args.echo_every)
+            echo_every=args.echo_every,
+            ckpt_path=args.ckpt)  # periodic when cfg.ckpt_every > 0
 
     if cfg.profile:
         import jax

@@ -148,7 +148,8 @@ class Trainer:
               steps: Optional[int] = None,
               log_path: Optional[str] = None,
               echo_every: int = 0,
-              sample_every: Optional[int] = None) -> Dict[str, list]:
+              sample_every: Optional[int] = None,
+              ckpt_path: Optional[str] = None) -> Dict[str, list]:
         """Train. Reference-compatible: `.train(num_epochs, G_lr, D_lr,
         D_steps)`; or pass `steps=` for a step budget. Returns the loss
         history dict."""
@@ -183,6 +184,7 @@ class Trainer:
         base_step = int(self.state["step"])
         done = 0
         last_sampled = 0
+        last_ckpt = 0
         t0 = time.time()
         # fixed epoch-window size per chunk => one compiled program for
         # all full chunks (a varying window dim would recompile)
@@ -229,6 +231,10 @@ class Trainer:
                 # hit exact multiples of sample_every (ADVICE r1, low)
                 self.generate_images(tag=f"step{done:06d}")
                 last_sampled = done
+            if (ckpt_path and cfg.ckpt_every > 0
+                    and done - last_ckpt >= cfg.ckpt_every):
+                self.save_model(ckpt_path)
+                last_ckpt = done
         jax.block_until_ready(self.state)
         self.wall_time = time.time() - t0
         for first, st in pending:

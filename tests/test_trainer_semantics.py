@@ -94,6 +94,20 @@ def test_cli_epochs_parses_as_int():
     assert args.use_pallas is False
 
 
+def test_periodic_checkpointing(tiny_data, tmp_path):
+    """cfg.ckpt_every > 0 + ckpt_path saves mid-run checkpoints a crash
+    could resume from (and the saved state is loadable)."""
+    ck = str(tmp_path / "periodic")
+    t = Trainer(config=tiny_cfg("nsgan", ckpt_every=10, scan_steps=5),
+                data=tiny_data)
+    t.train(steps=20, ckpt_path=ck)
+    assert os.path.exists(ck + ".npz")
+    t2 = Trainer(config=tiny_cfg("nsgan", ckpt_every=10, scan_steps=5),
+                 data=tiny_data)
+    t2.load_model(ck)
+    assert int(t2.state["step"]) == 20
+
+
 def test_sample_every_fires_between_chunk_multiples(tiny_data, tmp_path):
     out = str(tmp_path / "runs")
     # scan_steps=7, sample_every=5: old `done % 5 == 0` never fires
