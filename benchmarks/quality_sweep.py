@@ -1,0 +1,73 @@
+"""Per-variant sample-quality sweep — quantitative quality scores the
+reference never had (its quality story is visual grids only, SURVEY.md
+§7). Trains each variant for --steps, scores --n generated samples with
+the classifier-based IS-style metrics (utils/quality.py), and writes
+benchmarks/quality_results.json + a markdown table.
+
+    python benchmarks/quality_sweep.py [--steps 5000] [--n 2048]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=5000)
+    ap.add_argument("--scan", type=int, default=1000)
+    ap.add_argument("--n", type=int, default=2048)
+    ap.add_argument("--variants", nargs="*", default=None)
+    args = ap.parse_args()
+
+    from generative_models_tpu.config import variant_config
+    from generative_models_tpu.data.mnist import load_mnist, to_flat_float
+    from generative_models_tpu.losses.registry import available_variants
+    from generative_models_tpu.train.trainer import Trainer
+    from generative_models_tpu.utils.quality import (
+        classifier_accuracy,
+        score_samples,
+        train_classifier,
+    )
+
+    raw = load_mnist(allow_synthetic=True, synthetic_sizes=(12000, 2000))
+    flat = to_flat_float(raw)
+    clf = train_classifier(flat["x_train"], flat["y_train"])
+    acc = classifier_accuracy(clf, flat["x_test"], flat["y_test"])
+    print(json.dumps({"classifier_test_acc": round(acc, 4)}), flush=True)
+
+    real_scores = score_samples(clf, flat["x_test"][:args.n])
+    results = [{"variant": "REAL-DATA",
+                **{k: round(v, 4) for k, v in real_scores.items()}}]
+    print(json.dumps(results[0]), flush=True)
+
+    for variant in (args.variants or available_variants()):
+        cfg = variant_config(variant, scan_steps=args.scan, seed=0)
+        t = Trainer(config=cfg, data=raw)
+        t.train(steps=args.steps)
+        scores = score_samples(clf, t.sample(args.n))
+        row = {"variant": variant, "steps": args.steps,
+               **{k: round(v, 4) for k, v in scores.items()}}
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "quality_results.json")
+    with open(out, "w") as f:
+        json.dump({"classifier_test_acc": round(acc, 4),
+                   "n_samples": args.n, "rows": results}, f, indent=1)
+
+    print("\n| variant | confidence | class_entropy | IS (10-way) |")
+    print("|---|---|---|---|")
+    for r in results:
+        print(f"| {r['variant']} | {r['confidence']} "
+              f"| {r['class_entropy']} | {r['is_score']} |")
+
+
+if __name__ == "__main__":
+    main()

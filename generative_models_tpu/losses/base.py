@@ -22,7 +22,7 @@ must likewise have static structure (they ride through lax.scan).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict
 
 Params = Any
 Batch = Dict[str, Any]

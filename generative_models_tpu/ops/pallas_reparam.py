@@ -19,7 +19,6 @@ Backward (custom_vjp, XLA ops):
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,6 @@ import jax.numpy as jnp
 import optax
 
 from generative_models_tpu.config import Config
-from generative_models_tpu.data.pipeline import DeviceData, gather_batch
 from generative_models_tpu.losses.base import AdversarialSpec, SingleModelSpec
 from generative_models_tpu.train.optim import make_tx
 

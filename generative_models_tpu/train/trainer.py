@@ -11,10 +11,9 @@ steps per host dispatch, optional DP over an ICI mesh.
 
 from __future__ import annotations
 
-import math
 import os
 import time
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
