@@ -40,8 +40,11 @@ def bench_jax(data):
         "nsgan", batch_size=BATCH, hidden_dim=HIDDEN, z_dim=Z_DIM,
         scan_steps=SCAN, seed=0)  # default path: Pallas kernels on TPU
     t = Trainer(config=cfg, data=data)
-    t.train(steps=JAX_WARMUP)          # compile + warmup
-    t.train(steps=JAX_STEPS)           # steady state
+    # sample_every=-1: no per-epoch sample grids inside the timed loop —
+    # the torch replica's step loop generates no images either, so the
+    # steps/sec comparison stays apples-to-apples
+    t.train(steps=JAX_WARMUP, sample_every=-1)   # compile + warmup
+    t.train(steps=JAX_STEPS, sample_every=-1)    # steady state
     return JAX_STEPS / t.wall_time
 
 

@@ -92,7 +92,8 @@ class Config:
     seed: int = 42
     steps: int = 2000
     epochs: Optional[int] = None   # if set, overrides steps
-    sample_every: int = 0          # steps between sample grids (0 = per epoch)
+    sample_every: int = 0          # steps between sample grids
+    #                                (0 = per epoch, negative = never)
     sample_n: int = 64
     out_dir: str = "runs"
     ckpt_every: int = 0            # 0 = only at end

@@ -136,9 +136,28 @@ class Trainer:
             lambda params, rng, n: self.spec.sample(params, rng, n, cfg),
             static_argnums=(2,))
         # deterministic per-epoch permutations: perm(e) = permutation
-        # keyed by fold_in(perm_rng, e) — resume replays the same order
-        self._vperm = jax.jit(jax.vmap(
-            lambda k: jax.random.permutation(k, self.x_train.shape[0])))
+        # keyed by fold_in(perm_rng, e) — resume replays the same order.
+        # The whole window is ONE jitted call (cached per window size):
+        # a host loop of per-epoch fold_in dispatches dominated wall
+        # time when chunks cross many epochs (measured: 55% of the
+        # train loop at scan=8000 on a 12k-row pool).
+        self._perm_fns = {}
+
+    def _perm_window_fn(self, win: int):
+        fn = self._perm_fns.get(win)
+        if fn is None:
+            n = self.x_train.shape[0]
+            perm_rng = self._perm_rng
+
+            def window(e0):
+                keys = jax.vmap(
+                    lambda e: jax.random.fold_in(perm_rng, e))(
+                    e0 + jnp.arange(win))
+                return jax.vmap(
+                    lambda k: jax.random.permutation(k, n))(keys)
+
+            fn = self._perm_fns[win] = jax.jit(window)
+        return fn
 
     # --------------------------------------------------------------
     def train(self, num_epochs: Optional[int] = None,
@@ -200,7 +219,7 @@ class Trainer:
             chunk = min(cfg.scan_steps, total - done)
             start_row = (base_step + done) * self.rows_per_step
             e0 = start_row // self.rows_per_epoch
-            perm_stack = self._perm_window(e0, e0 + win - 1)
+            perm_stack = self._perm_window_fn(win)(jnp.int32(e0))
             rel = (start_row - e0 * self.rows_per_epoch
                    + jnp.arange(chunk) * self.rows_per_step)
             self.state, stacked = self._many_steps(
@@ -243,10 +262,6 @@ class Trainer:
         self.history = logger.history
         return logger.history
 
-    def _perm_window(self, e0: int, e1: int):
-        keys = jnp.stack([jax.random.fold_in(self._perm_rng, e)
-                          for e in range(e0, e1 + 1)])
-        return self._vperm(keys)
 
     # --------------------------------------------------------------
     def evaluate(self, split: str = "test",
