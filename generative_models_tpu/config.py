@@ -75,10 +75,12 @@ class Config:
     dtype: str = "float32"         # activation compute dtype; params stay f32
     use_pallas: bool = True        # Pallas kernels on TPU; XLA twin elsewhere
     # Measured end-to-end crossover (benchmarks/crossover_results.json):
-    # the whole-MLP Pallas kernel wins at the zoo batch (100: +6.5%) and
-    # loses to XLA's own tiling at DP-scale batches (512-8192: -3..-23%),
-    # so Pallas engages only at batch <= this bound; 0 forces it always.
-    pallas_max_batch: int = 256
+    # after the round-2 perm-window fusion removed loop overhead, the
+    # whole-MLP Pallas kernel wins or ties at EVERY batch (+19% at the
+    # zoo batch 100, +2..14% at 1024-8192, -2% noise at 512), so Pallas
+    # is the default everywhere (0 = no batch bound). Set a positive
+    # bound to restrict Pallas to batches <= bound.
+    pallas_max_batch: int = 0
     # Train steps fused per host dispatch (one lax.scan). The MNIST MLPs
     # are dispatch-bound: measured on the v5e tunnel, steady-state
     # throughput is ~1.1k steps/s at 100, ~6k at 1000, ~8.7k at 2000.

@@ -47,10 +47,10 @@ class Trainer:
         self.mesh = mesh
 
         # Pallas kernels only make sense on a TPU backend; the XLA twin
-        # is the reference implementation everywhere else. The kernel
-        # wins end-to-end only at small batches (measured crossover,
-        # benchmarks/crossover.py) — above pallas_max_batch XLA's own
-        # tiling is faster, so the backend choice is data-driven.
+        # is the reference implementation everywhere else. Measured
+        # end-to-end (benchmarks/crossover.py) the kernel wins or ties
+        # at every batch, so the default bound is 0 (unbounded); a
+        # positive pallas_max_batch restricts Pallas to small batches.
         from generative_models_tpu.ops.linear import pallas_backend_available
         wants_pallas = (
             self.cfg.use_pallas

@@ -27,14 +27,19 @@ def test_pallas_at_zoo_batch(tiny_data, fake_tpu):
         == "pallas"
 
 
-def test_xla_above_crossover_batch(tiny_data, fake_tpu):
+def test_pallas_default_at_large_batch(tiny_data, fake_tpu):
+    # measured crossover (round 2): Pallas wins or ties at every batch,
+    # so the default bound is 0 (no restriction)
     assert _backend_for(tiny_cfg("nsgan", batch_size=512), tiny_data) \
-        == "xla"
+        == "pallas"
 
 
-def test_force_pallas_with_zero_bound(tiny_data, fake_tpu):
+def test_user_bound_restricts_pallas(tiny_data, fake_tpu):
     assert _backend_for(
-        tiny_cfg("nsgan", batch_size=512, pallas_max_batch=0),
+        tiny_cfg("nsgan", batch_size=512, pallas_max_batch=256),
+        tiny_data) == "xla"
+    assert _backend_for(
+        tiny_cfg("nsgan", batch_size=256, pallas_max_batch=256),
         tiny_data) == "pallas"
 
 
