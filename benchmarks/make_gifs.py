@@ -1,0 +1,79 @@
+"""Stitch per-epoch sample grids into training-progression GIFs.
+
+The reference README embeds a GIF per model showing samples sharpening
+over training (SURVEY.md §3.3). The gallery runs (benchmarks/gallery.py)
+already drop `epochNNN.png` grids in runs/<variant>/; this script turns
+each sequence into docs/gallery/<variant>_train.gif with the stdlib
+GIF89a encoder (utils/gif.py) and patches the GIF row into each
+docs/variants/<variant>.md.
+
+Usage: python benchmarks/make_gifs.py [--runs runs --out docs/gallery]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from generative_models_tpu.config import VARIANTS  # noqa: E402
+from generative_models_tpu.utils.gif import pngs_to_gif  # noqa: E402
+
+GIF_LINE = ("**Training progression** (one frame per epoch):\n\n"
+            "![{v} training progression](../gallery/{v}_train.gif)\n")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", default="runs")
+    ap.add_argument("--out", default="docs/gallery")
+    ap.add_argument("--docs", default="docs/variants")
+    ap.add_argument("--delay-cs", type=int, default=25)
+    ap.add_argument("--max-frames", type=int, default=40,
+                    help="subsample long runs to this many frames")
+    args = ap.parse_args()
+
+    made = []
+    for v in VARIANTS:
+        frames = sorted(glob.glob(os.path.join(args.runs, v, "epoch*.png")))
+        if len(frames) < 2:
+            print(f"{v}: no epoch frames, skipped")
+            continue
+        # runs/ may mix grids from different configs (sample_n); keep
+        # only frames matching the final grid's shape
+        from generative_models_tpu.utils.gif import read_png_gray
+        ref_shape = read_png_gray(frames[-1]).shape
+        frames = [f for f in frames if read_png_gray(f).shape == ref_shape]
+        if len(frames) > args.max_frames:
+            stride = (len(frames) - 1) / (args.max_frames - 1)
+            frames = [frames[round(i * stride)]
+                      for i in range(args.max_frames)]
+        out = os.path.join(args.out, f"{v}_train.gif")
+        pngs_to_gif(frames, out, delay_cs=args.delay_cs)
+        made.append(v)
+        print(f"{v}: {len(frames)} frames -> {out} "
+              f"({os.path.getsize(out) // 1024} KB)")
+
+        doc = os.path.join(args.docs, f"{v}.md")
+        if os.path.exists(doc):
+            text = open(doc).read()
+            block = GIF_LINE.format(v=v)
+            if f"{v}_train.gif" not in text:
+                # insert before the samples/loss table if present,
+                # else append
+                m = re.search(r"^\|.*samples.*\|.*$", text, re.M)
+                if m:
+                    text = text[:m.start()] + block + "\n" + text[m.start():]
+                else:
+                    text = text.rstrip() + "\n\n" + block
+                open(doc, "w").write(text)
+    print(f"{len(made)}/{len(VARIANTS)} GIFs written")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -89,6 +89,12 @@ class Config:
     # --- parallelism ----------------------------------------------------
     dp: int = 1                    # data-parallel mesh size over ICI
     dp_impl: str = "jit"           # "jit" (NamedSharding) | "shard_map"
+    # Tensor (model) parallel size: Megatron-style column/row sharding
+    # of every MLP over a 2-D (data, model) mesh, collectives inserted
+    # by the SPMD partitioner (parallel/tp.py). DP is the throughput
+    # path at MNIST scale; tp>1 is the capability/scaling path. Uses
+    # the XLA kernels (the whole-MLP Pallas kernel is per-device).
+    tp: int = 1
 
     # --- run / io -------------------------------------------------------
     seed: int = 42
@@ -116,6 +122,8 @@ class Config:
         if self.ckpt_backend not in ("npz", "orbax"):
             raise ValueError(
                 f"ckpt_backend must be npz|orbax, got {self.ckpt_backend!r}")
+        if self.tp < 1 or self.dp < 1:
+            raise ValueError(f"dp/tp must be >= 1, got dp={self.dp} tp={self.tp}")
         if self.variant == "fgan":
             # fail fast with a clean message instead of a mid-trace error
             from generative_models_tpu.losses.fgan import get_divergence

@@ -4,8 +4,10 @@ The reference is single-process single-device with no communication
 backend at all (SURVEY.md §3.2 callout). The TPU-native scaling story
 is data parallelism over ICI: a 1-D `jax.sharding.Mesh` over the chips,
 batch sharded on the `data` axis, params replicated, gradient
-all-reduce riding XLA's TPU collectives. The MNIST MLPs have nothing
-else to shard (no TP/PP/SP/EP — a deliberate scope decision, ibid.).
+all-reduce riding XLA's TPU collectives. Tensor parallelism over a 2-D
+(data, model) mesh lives in parallel/tp.py; PP/SP/EP stay out of scope
+(nothing to pipeline/sequence/expert-shard in a 2-layer MNIST MLP —
+docs/design.md §7).
 """
 
 from __future__ import annotations

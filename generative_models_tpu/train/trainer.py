@@ -44,7 +44,14 @@ class Trainer:
         self.cfg = config if config is not None else variant_config(
             variant, **overrides)
         self.spec = get_variant(self.cfg.variant)
+        if mesh is None and self.cfg.tp > 1:
+            from generative_models_tpu.parallel.tp import make_mesh_2d
+            mesh = make_mesh_2d(self.cfg.dp, self.cfg.tp)
         self.mesh = mesh
+        from generative_models_tpu.parallel.tp import MODEL_AXIS
+        self._tp_mesh = (mesh is not None and MODEL_AXIS in mesh.axis_names
+                         and dict(zip(mesh.axis_names,
+                                      mesh.devices.shape))[MODEL_AXIS] > 1)
 
         # Pallas kernels only make sense on a TPU backend; the XLA twin
         # is the reference implementation everywhere else. Measured
@@ -54,6 +61,8 @@ class Trainer:
         from generative_models_tpu.ops.linear import pallas_backend_available
         wants_pallas = (
             self.cfg.use_pallas
+            and not self._tp_mesh  # whole-MLP kernel is per-device; TP
+            #                        shards the weights across devices
             and not getattr(self.spec, "needs_second_order", False)
             and (self.cfg.pallas_max_batch <= 0
                  or self.cfg.batch_size <= self.cfg.pallas_max_batch)
@@ -92,7 +101,14 @@ class Trainer:
         self._init_rng, self._perm_rng, self._sample_rng = jax.random.split(
             rng, 3)
         self.state = step_lib.init_state(self.spec, cfg, self._init_rng)
+        self._shard_state_if_tp()
         self._build_fns()
+
+    def _shard_state_if_tp(self):
+        if self._tp_mesh:
+            from generative_models_tpu.parallel.tp import shard_state
+            self.state, self._state_shardings = shard_state(
+                self.spec, self.cfg, self.state, self.mesh)
 
     def _rebuild_optimizers(self):
         """Fresh optimizer states at the current cfg's lrs, PRESERVING
@@ -107,6 +123,7 @@ class Trainer:
         else:
             st["opt"] = make_tx(cfg, cfg.g_lr).init(st["params"])
         self.state = st
+        self._shard_state_if_tp()
         self._build_fns()
 
     def _build_fns(self):
@@ -118,7 +135,12 @@ class Trainer:
             raise ValueError("dataset smaller than one training step")
         self.rows_per_epoch = self.steps_per_epoch * self.rows_per_step
 
-        if self.mesh is not None and cfg.dp_impl == "shard_map":
+        if self._tp_mesh:
+            from generative_models_tpu.parallel.tp import build_tp_many_steps
+            self._many_steps = build_tp_many_steps(
+                self.spec, cfg, self.steps_per_epoch, self.mesh,
+                self._state_shardings)
+        elif self.mesh is not None and cfg.dp_impl == "shard_map":
             from generative_models_tpu.parallel.dp import (
                 build_shard_map_many_steps,
             )
@@ -359,3 +381,4 @@ class Trainer:
     def load_model(self, path: str) -> None:
         from generative_models_tpu.utils.checkpoint import restore
         self.state = restore(path, self.state, self.cfg.ckpt_backend)
+        self._shard_state_if_tp()

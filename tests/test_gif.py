@@ -1,0 +1,92 @@
+"""GIF89a writer tests (utils/gif.py — the reference README's per-model
+training GIFs, SURVEY.md §3.3)."""
+
+import numpy as np
+import pytest
+
+from generative_models_tpu.utils.gif import (
+    _lzw_encode, pngs_to_gif, read_png_gray, write_gif_gray,
+)
+from generative_models_tpu.utils.viz import save_image_grid
+
+
+def _lzw_decode(data, min_code_size=8):
+    """Reference GIF-LZW decoder (spec Appendix F semantics: decoder
+    grows code width one table entry before the encoder's count)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    table = [bytes([i]) for i in range(clear)] + [b"", b""]
+    code_size = min_code_size + 1
+    acc = nbits = pos = 0
+    out = bytearray()
+    prev = None
+    while True:
+        while nbits < code_size:
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise AssertionError(f"bad code {code}")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+
+
+@pytest.mark.parametrize("payload", [
+    b"aaaaabbbbbccccc" * 10,
+    bytes(np.tile(np.arange(256, dtype=np.uint8), 30)),
+    bytes((np.random.default_rng(0).random(30000) * 255).astype(np.uint8)),
+])
+def test_lzw_roundtrip(payload):
+    assert _lzw_decode(_lzw_encode(payload)) == payload
+
+
+def test_gif_pil_decodes_exactly(tmp_path):
+    """Cross-check the whole file against an independent decoder."""
+    PIL = pytest.importorskip("PIL.Image")
+    from PIL import ImageSequence
+    rng = np.random.default_rng(1)
+    frames = [(rng.random((50, 70)) * 255).astype(np.uint8)
+              for _ in range(4)]
+    path = write_gif_gray(str(tmp_path / "a.gif"), frames, delay_cs=12)
+    im = PIL.open(path)
+    dec = [np.asarray(f.convert("L")) for f in ImageSequence.Iterator(im)]
+    assert len(dec) == len(frames)
+    for a, b in zip(frames, dec):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_png_reader_roundtrips_grid(tmp_path):
+    imgs = np.random.default_rng(2).random((16, 28, 28)).astype(np.float32)
+    p = save_image_grid(str(tmp_path / "g.png"), imgs)
+    arr = read_png_gray(p)
+    assert arr.dtype == np.uint8 and arr.ndim == 2 and arr.shape[0] > 28
+
+
+def test_pngs_to_gif(tmp_path):
+    rng = np.random.default_rng(3)
+    paths = []
+    for i in range(3):
+        paths.append(save_image_grid(
+            str(tmp_path / f"f{i}.png"),
+            rng.random((16, 28, 28)).astype(np.float32)))
+    out = pngs_to_gif(paths, str(tmp_path / "t.gif"))
+    blob = open(out, "rb").read()
+    assert blob[:6] == b"GIF89a" and blob[-1:] == b"\x3B"

@@ -1,0 +1,113 @@
+"""Tensor-parallelism tests on the 8-virtual-CPU mesh.
+
+The Megatron-style sharding (parallel/tp.py) must be *semantically
+invisible*: a dp x tp run is the same computation as single-device,
+with XLA inserting the collectives. These tests pin (a) that the
+parameters really are sharded (not silently replicated), and (b) that
+the trained result matches the single-device trainer to reduction-order
+tolerance — which is only possible if the inserted collectives are
+correct.
+"""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from generative_models_tpu.parallel.tp import (
+    MODEL_AXIS, make_mesh_2d, params_pspecs,
+)
+from generative_models_tpu.train.trainer import Trainer
+
+from conftest import tiny_cfg
+
+
+def _cpu_mesh(dp, tp):
+    devs = jax.devices("cpu")
+    if len(devs) < dp * tp:
+        pytest.skip(f"need {dp * tp} devices")
+    return make_mesh_2d(dp, tp, devices=devs)
+
+
+def _leaves(tree):
+    return jax.tree.leaves(tree)
+
+
+def _run(variant, tiny_data, mesh=None, steps=8, **kw):
+    cfg = tiny_cfg(variant, steps=steps, dp=2, tp=4, use_pallas=False, **kw)
+    t = Trainer(config=cfg, data=tiny_data, mesh=mesh)
+    t.train(steps=steps)
+    return t
+
+
+@pytest.mark.parametrize("variant", ["nsgan", "vae", "infogan", "began"])
+def test_tp_matches_single_device(variant, tiny_data):
+    """dp=2 x tp=4 trains the same model as one device (same seed)."""
+    mesh = _cpu_mesh(2, 4)
+    ref = Trainer(config=tiny_cfg(variant, steps=8, use_pallas=False),
+                  data=tiny_data)
+    ref.train(steps=8)
+    t = _run(variant, tiny_data, mesh=mesh)
+    for a, b in zip(_leaves(ref.state), _leaves(t.state)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
+
+
+def test_tp_params_actually_sharded(tiny_data):
+    mesh = _cpu_mesh(2, 4)
+    t = _run("nsgan", tiny_data, mesh=mesh)
+    w0 = t.state["g_params"][0]["w"]  # [z, h] column-parallel
+    w1 = t.state["g_params"][1]["w"]  # [h, 784] row-parallel
+    assert w0.sharding.spec == P(None, MODEL_AXIS)
+    assert w1.sharding.spec == P(MODEL_AXIS, None)
+    assert w0.addressable_shards[0].data.shape[1] * 4 == w0.shape[1]
+    assert w1.addressable_shards[0].data.shape[0] * 4 == w1.shape[0]
+    # optimizer slots (Adam mu) follow the param sharding — the memory
+    # win TP exists for
+    mu_leaves = [x for x in jax.tree.leaves(t.state["g_opt"])
+                 if getattr(x, "ndim", 0) == 2 and x.shape == w0.shape]
+    assert mu_leaves and all(
+        m.sharding.spec == P(None, MODEL_AXIS) for m in mu_leaves)
+
+
+def test_tp_spec_rules():
+    """Alternating column/row rules with divisibility guards."""
+    rng = jax.random.PRNGKey(0)
+    from generative_models_tpu.models.mlp import mlp_init
+    # 2-layer net: one Megatron pair
+    specs = params_pspecs(mlp_init(rng, [8, 32, 784]), tp=4)
+    assert specs[0]["w"] == P(None, MODEL_AXIS)
+    assert specs[0]["b"] == P(MODEL_AXIS)
+    assert specs[1]["w"] == P(MODEL_AXIS, None)
+    assert specs[1]["b"] == P(None)
+    # indivisible hidden dim stays replicated end to end
+    specs = params_pspecs(mlp_init(rng, [8, 30, 784]), tp=4)
+    assert specs[0]["w"] == P(None, None)
+    assert specs[1]["w"] == P(None, None)
+    # trunk+heads (InfoGAN/encoder shape): trunk ends column-parallel,
+    # heads consume the sharded features row-parallel
+    from generative_models_tpu.models import nets
+    cfg = tiny_cfg("infogan")
+    d = nets.infogan_d_init(rng, cfg)
+    specs = params_pspecs(d, tp=4)
+    assert specs["trunk"][-1]["w"] == P(None, MODEL_AXIS)
+    assert specs["d_head"]["w"] == P(MODEL_AXIS, None)
+    assert specs["q_head"]["w"] == P(MODEL_AXIS, None)
+
+
+def test_tp_checkpoint_roundtrip(tiny_data, tmp_path):
+    """save -> load under TP keeps values AND re-applies shardings."""
+    mesh = _cpu_mesh(2, 4)
+    t = _run("nsgan", tiny_data, mesh=mesh)
+    path = str(tmp_path / "ck.npz")
+    t.save_model(path)
+    before = [np.asarray(x) for x in _leaves(t.state)]
+    step_before = int(t.state["step"])
+    t2 = Trainer(config=t.cfg, data=tiny_data, mesh=mesh)
+    t2.load_model(path)
+    for a, b in zip(before, _leaves(t2.state)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    assert t2.state["g_params"][0]["w"].sharding.spec == P(None, MODEL_AXIS)
+    # and training continues from the restored state
+    t2.train(steps=4)
+    assert int(t2.state["step"]) == step_before + 4
