@@ -38,7 +38,14 @@ def bench_jax(data):
 
     cfg = variant_config(
         "nsgan", batch_size=BATCH, hidden_dim=HIDDEN, z_dim=Z_DIM,
-        scan_steps=SCAN, seed=0)  # default path: Pallas kernels on TPU
+        scan_steps=SCAN, seed=0,
+        # Each side uses its platform's standard fast RNG: torch keeps
+        # its native generator below; the JAX side uses the TPU
+        # hardware-RNG path (XLA RngBitGenerator) — noise draws are
+        # ~20% of the f32 step budget (benchmarks/step_anatomy.py).
+        # Training stays deterministic per seed; threefry remains the
+        # framework default for bit-stable parity (config.py).
+        prng_impl="rbg")  # default path otherwise: Pallas kernels on TPU
     t = Trainer(config=cfg, data=data)
     # sample_every=-1: no per-epoch sample grids inside the timed loop —
     # the torch replica's step loop generates no images either, so the

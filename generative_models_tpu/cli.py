@@ -50,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--score-samples", action="store_true",
                    help="train a held-out classifier and report "
                         "IS-style sample-quality scores at the end")
+    p.add_argument("--sample-only", action="store_true",
+                   help="no training: restore --ckpt and write a "
+                        "sample grid (the reference's post-training "
+                        "generate_images call)")
     return p
 
 
@@ -76,6 +80,17 @@ def main(argv=None) -> int:
     from generative_models_tpu.train.trainer import Trainer
     from generative_models_tpu.utils.checkpoint import exists as ckpt_exists
     t = Trainer(config=cfg, mesh=mesh)
+    if args.sample_only:
+        if not args.ckpt or not ckpt_exists(args.ckpt, cfg.ckpt_backend):
+            print("--sample-only needs an existing --ckpt", file=sys.stderr)
+            return 2
+        t.load_model(args.ckpt)
+        path = t.generate_images(
+            tag=f"samples_step{int(t.state['step']):06d}")
+        print(json.dumps({"variant": cfg.variant,
+                          "step": int(t.state["step"]),
+                          "samples": path}))
+        return 0
     if args.ckpt and cfg.resume and ckpt_exists(args.ckpt, cfg.ckpt_backend):
         t.load_model(args.ckpt)
         print(f"resumed from {args.ckpt} at step "

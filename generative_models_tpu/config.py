@@ -73,6 +73,14 @@ class Config:
 
     # --- numerics / performance ----------------------------------------
     dtype: str = "float32"         # activation compute dtype; params stay f32
+    # PRNG implementation for the training key chain. "threefry" (jax
+    # default): bit-stable across versions/backends — required by the
+    # torch-trajectory-parity and resume tests. "rbg": the TPU's
+    # hardware RNG path (XLA RngBitGenerator) — measured +25% NSGAN
+    # step throughput (noise draws are ~20% of the f32 step budget,
+    # benchmarks/step_anatomy.py); deterministic per (seed, binary) but
+    # not guaranteed stable across compiler releases.
+    prng_impl: str = "threefry"
     use_pallas: bool = True        # Pallas kernels on TPU; XLA twin elsewhere
     # Measured end-to-end crossover (benchmarks/crossover_results.json):
     # after the round-2 perm-window fusion removed loop overhead, the
@@ -81,6 +89,13 @@ class Config:
     # is the default everywhere (0 = no batch bound). Set a positive
     # bound to restrict Pallas to batches <= bound.
     pallas_max_batch: int = 0
+    # Donate the TrainState buffers into the jitted step. OFF by
+    # default: donation saves one copy of params+opt state in HBM
+    # (a few MB here — irrelevant), and measured on the axon v5e link
+    # it costs ~9% steady-state throughput (24.2k -> 22.1k steps/s at
+    # scan=8000). Turn on for models whose state actually pressures
+    # HBM.
+    donate_buffers: bool = False
     # Train steps fused per host dispatch (one lax.scan). The MNIST MLPs
     # are dispatch-bound: measured on the v5e tunnel, steady-state
     # throughput is ~1.1k steps/s at 100, ~6k at 1000, ~8.7k at 2000.
@@ -124,6 +139,9 @@ class Config:
                 f"ckpt_backend must be npz|orbax, got {self.ckpt_backend!r}")
         if self.tp < 1 or self.dp < 1:
             raise ValueError(f"dp/tp must be >= 1, got dp={self.dp} tp={self.tp}")
+        if self.prng_impl not in ("threefry", "rbg", "unsafe_rbg"):
+            raise ValueError(
+                f"prng_impl must be threefry|rbg|unsafe_rbg, got {self.prng_impl!r}")
         if self.variant == "fgan":
             # fail fast with a clean message instead of a mid-trace error
             from generative_models_tpu.losses.fgan import get_divergence

@@ -104,4 +104,5 @@ def build_shard_map_many_steps(spec, cfg, steps_per_epoch: int,
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return jax.jit(smapped, donate_argnums=(0,))
+    return jax.jit(smapped,
+                   donate_argnums=(0,) if cfg.donate_buffers else ())

@@ -180,5 +180,5 @@ def build_tp_many_steps(spec, cfg: Config, steps_per_epoch: int,
         many,
         in_shardings=(state_shardings, rep, rep, rep, rep),
         out_shardings=(state_shardings, rep),
-        donate_argnums=(0,),
+        donate_argnums=(0,) if cfg.donate_buffers else (),
     )

@@ -97,7 +97,12 @@ class Trainer:
     # --------------------------------------------------------------
     def _build(self):
         cfg = self.cfg
-        rng = jax.random.PRNGKey(cfg.seed)
+        if cfg.prng_impl == "threefry":
+            rng = jax.random.PRNGKey(cfg.seed)  # raw key, bit-stable
+        else:
+            # typed key carrying its impl (rbg = TPU hardware RNG path;
+            # measured +25% NSGAN step throughput, see config.py)
+            rng = jax.random.key(cfg.seed, impl=cfg.prng_impl)
         self._init_rng, self._perm_rng, self._sample_rng = jax.random.split(
             rng, 3)
         self.state = step_lib.init_state(self.spec, cfg, self._init_rng)
@@ -153,7 +158,9 @@ class Trainer:
                 batch_sharding = batch_constrainer(self.mesh)
             many = step_lib.build_many_steps(
                 self.spec, cfg, self.steps_per_epoch, batch_sharding)
-            self._many_steps = jax.jit(many, donate_argnums=(0,))
+            self._many_steps = jax.jit(
+                many,
+                donate_argnums=(0,) if cfg.donate_buffers else ())
         self._sample_fn = jax.jit(
             lambda params, rng, n: self.spec.sample(params, rng, n, cfg),
             static_argnums=(2,))
@@ -164,6 +171,7 @@ class Trainer:
         # time when chunks cross many epochs (measured: 55% of the
         # train loop at scan=8000 on a 12k-row pool).
         self._perm_fns = {}
+        self._rel_cache = {}
 
     def _perm_window_fn(self, win: int):
         fn = self._perm_fns.get(win)
@@ -179,6 +187,21 @@ class Trainer:
                     lambda k: jax.random.permutation(k, n))(keys)
 
             fn = self._perm_fns[win] = jax.jit(window)
+        return fn
+
+    def _rel_fn(self, chunk: int):
+        """rel_offsets for a chunk as ONE jitted dispatch. Building it
+        eagerly (arange * mul + add + astype) costs 4 tunnel dispatches
+        per chunk — measured 18% of steady-state wall time on the axon
+        link at scan=8000."""
+        fn = self._rel_cache.get(chunk)
+        if fn is None:
+            rps = self.rows_per_step
+
+            def rel(r0):
+                return (r0 + jnp.arange(chunk) * rps).astype(jnp.int32)
+
+            fn = self._rel_cache[chunk] = jax.jit(rel)
         return fn
 
     # --------------------------------------------------------------
@@ -241,12 +264,13 @@ class Trainer:
             chunk = min(cfg.scan_steps, total - done)
             start_row = (base_step + done) * self.rows_per_step
             e0 = start_row // self.rows_per_epoch
-            perm_stack = self._perm_window_fn(win)(jnp.int32(e0))
-            rel = (start_row - e0 * self.rows_per_epoch
-                   + jnp.arange(chunk) * self.rows_per_step)
+            # np scalars, not jnp: eager jnp scalar ops are one tunnel
+            # dispatch each; as np they ride along with the jitted call
+            perm_stack = self._perm_window_fn(win)(np.int32(e0))
+            rel = self._rel_fn(chunk)(
+                np.int32(start_row - e0 * self.rows_per_epoch))
             self.state, stacked = self._many_steps(
-                self.state, self.x_train, self.y_train, perm_stack,
-                rel.astype(jnp.int32))
+                self.state, self.x_train, self.y_train, perm_stack, rel)
             prev_epochs = (base_step + done) // self.steps_per_epoch
             done += chunk
             cur_epochs = (base_step + done) // self.steps_per_epoch
@@ -275,10 +299,21 @@ class Trainer:
                     and done - last_ckpt >= cfg.ckpt_every):
                 self.save_model(ckpt_path)
                 last_ckpt = done
-        jax.block_until_ready(self.state)
+        # completion fence: fetching a scalar VALUE is the only reliable
+        # barrier over the axon tunnel (block_until_ready can return
+        # before remote execution finishes — measured); train time is
+        # everything up to the last step's completion, while the metric
+        # download below is logging I/O (the torch reference's
+        # per-step .item() appends are inside ITS loop, so this
+        # accounting favors the baseline if anything)
+        self._last_step_sync = int(self.state["step"])
         self.wall_time = time.time() - t0
-        for first, st in pending:
-            logger.log_chunk(first, jax.device_get(st))
+        # ONE bulk transfer for all deferred chunk metrics
+        if pending:
+            fetched = jax.device_get([st for _, st in pending])
+            for (first, _), st in zip(pending, fetched):
+                logger.log_chunk(first, st)
+            pending.clear()
         self.steps_done = total
         logger.close()
         self.history = logger.history

@@ -28,6 +28,14 @@ import numpy as np
 _META_KEY = "__meta__"
 
 
+def _is_typed_key(x) -> bool:
+    """New-style jax PRNG key arrays (carry their impl in the dtype —
+    used when Config.prng_impl != 'threefry'). np.savez can't store
+    extended dtypes, so they round-trip through key_data/wrap_key_data."""
+    return (hasattr(x, "dtype")
+            and jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key))
+
+
 def _paths_and_leaves(state):
     leaves_with_paths, treedef = jax.tree_util.tree_flatten_with_path(state)
     paths = [jax.tree_util.keystr(p) for p, _ in leaves_with_paths]
@@ -44,6 +52,8 @@ def save_state(path: str, state: Any) -> str:
         path = path + ".npz"
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     paths, leaves, _ = _paths_and_leaves(state)
+    leaves = [jax.random.key_data(x) if _is_typed_key(x) else x
+              for x in leaves]
     flat = {f"leaf_{i:05d}": np.asarray(x) for i, x in enumerate(leaves)}
     meta = json.dumps([
         {"path": p, "shape": list(np.shape(a)), "dtype": str(a.dtype)}
@@ -70,7 +80,13 @@ def restore_state(path: str, template: Any) -> Any:
                 else None)
 
     for i, (tp, tl, x) in enumerate(zip(t_paths, t_leaves, loaded)):
-        t_arr = np.asarray(tl)
+        if _is_typed_key(tl):
+            t_arr = np.asarray(jax.random.key_data(tl))
+            if x.shape == t_arr.shape and x.dtype == t_arr.dtype:
+                loaded[i] = jax.random.wrap_key_data(
+                    jax.numpy.asarray(x), impl=jax.random.key_impl(tl))
+        else:
+            t_arr = np.asarray(tl)
         saved_path = meta[i]["path"] if meta else tp
         if x.shape != t_arr.shape or x.dtype != t_arr.dtype:
             raise ValueError(

@@ -119,3 +119,23 @@ def test_sample_every_fires_between_chunk_multiples(tiny_data, tmp_path):
     pngs = [f for f in os.listdir(os.path.join(out, "nsgan"))
             if f.startswith("step")]
     assert len(pngs) >= 2, pngs
+
+
+def test_cli_sample_only_roundtrip(tmp_path):
+    """--sample-only restores the checkpoint and writes a grid without
+    training (the reference's post-training generate_images path)."""
+    from generative_models_tpu.cli import main
+    ck = str(tmp_path / "ck.npz")
+    out = str(tmp_path / "runs")
+    common = ["--variant", "nsgan", "--dataset", "synthetic",
+              "--batch-size", "16", "--hidden-dim", "32", "--z-dim", "8",
+              "--scan-steps", "4", "--out-dir", out, "--echo-every", "0"]
+    assert main(common + ["--steps", "8", "--ckpt", ck,
+                          "--sample-every", "-1"]) == 0
+    assert os.path.exists(ck)
+    assert main(common + ["--sample-only", "--ckpt", ck]) == 0
+    grid = os.path.join(out, "nsgan", "samples_step000008.png")
+    assert os.path.exists(grid)
+    # without a checkpoint it refuses cleanly
+    assert main(common + ["--sample-only",
+                          "--ckpt", str(tmp_path / "nope.npz")]) == 2
