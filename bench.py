@@ -45,7 +45,7 @@ def bench_jax(data):
         # ~20% of the f32 step budget (benchmarks/step_anatomy.py).
         # Training stays deterministic per seed; threefry remains the
         # framework default for bit-stable parity (config.py).
-        prng_impl="rbg")  # default path otherwise: Pallas kernels on TPU
+        prng_impl="rbg")  # compute path: XLA (the measured default)
     t = Trainer(config=cfg, data=data)
     # sample_every=-1: no per-epoch sample grids inside the timed loop —
     # the torch replica's step loop generates no images either, so the

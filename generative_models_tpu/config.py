@@ -73,6 +73,16 @@ class Config:
 
     # --- numerics / performance ----------------------------------------
     dtype: str = "float32"         # activation compute dtype; params stay f32
+    # Whole-MLP Pallas kernels: OFF by default. The fwd kernel wins up
+    # to 2.5x in microbenches, but with trustworthy (value-fetch-
+    # fenced) timing the XLA path wins END-TO-END at every measured
+    # batch (batch 100/scan 8000: 35.2k vs 30.9k steps/s = +14% XLA;
+    # crossover table 512-8192: Pallas 0.68-1.09x, BASELINE.md). The
+    # earlier round-2 "Pallas wins everywhere" default was an artifact
+    # of the broken block_until_ready fence. custom_vjp boundaries
+    # block XLA from fusing the loss/optimizer epilogues across the
+    # kernel edge, which eats the VMEM-residency win at these sizes.
+    # --use-pallas re-enables (subject to pallas_max_batch).
     # PRNG implementation for the training key chain. "threefry" (jax
     # default): bit-stable across versions/backends — required by the
     # torch-trajectory-parity and resume tests. "rbg": the TPU's
@@ -81,13 +91,9 @@ class Config:
     # benchmarks/step_anatomy.py); deterministic per (seed, binary) but
     # not guaranteed stable across compiler releases.
     prng_impl: str = "threefry"
-    use_pallas: bool = True        # Pallas kernels on TPU; XLA twin elsewhere
-    # Measured end-to-end crossover (benchmarks/crossover_results.json):
-    # after the round-2 perm-window fusion removed loop overhead, the
-    # whole-MLP Pallas kernel wins or ties at EVERY batch (+19% at the
-    # zoo batch 100, +2..14% at 1024-8192, -2% noise at 512), so Pallas
-    # is the default everywhere (0 = no batch bound). Set a positive
-    # bound to restrict Pallas to batches <= bound.
+    use_pallas: bool = False       # see the measured-default note above
+    # When use_pallas is on: 0 = no batch bound; a positive bound
+    # restricts the kernel to batches <= bound.
     pallas_max_batch: int = 0
     # Donate the TrainState buffers into the jitted step. OFF by
     # default: donation saves one copy of params+opt state in HBM

@@ -1,6 +1,10 @@
-"""Backend selection policy: Pallas only where it is measured to win —
-small batches (benchmarks/crossover_results.json), first-order variants,
-TPU available. Everything else gets the XLA twin."""
+"""Backend selection policy (data-driven, BASELINE.md crossover):
+
+With VALUE-FETCH-FENCED timing the XLA path wins end-to-end at every
+measured batch (the earlier "Pallas everywhere" default was an artifact
+of the unreliable block_until_ready fence), so XLA is the default and
+Pallas is opt-in via use_pallas — still gated by TPU availability,
+first-order variants, and pallas_max_batch."""
 
 import pytest
 
@@ -22,34 +26,56 @@ def _backend_for(cfg, tiny_data):
     return ops.get_backend()
 
 
-def test_pallas_at_zoo_batch(tiny_data, fake_tpu):
+def test_xla_is_default(tiny_data, fake_tpu):
+    # measured: XLA +14% at the headline config, wins 512-8192 too
     assert _backend_for(tiny_cfg("nsgan", batch_size=100), tiny_data) \
+        == "xla"
+
+
+def test_pallas_opt_in(tiny_data, fake_tpu):
+    assert _backend_for(
+        tiny_cfg("nsgan", batch_size=100, use_pallas=True), tiny_data) \
         == "pallas"
-
-
-def test_pallas_default_at_large_batch(tiny_data, fake_tpu):
-    # measured crossover (round 2): Pallas wins or ties at every batch,
-    # so the default bound is 0 (no restriction)
-    assert _backend_for(tiny_cfg("nsgan", batch_size=512), tiny_data) \
+    # bound 0 = no batch restriction once opted in
+    assert _backend_for(
+        tiny_cfg("nsgan", batch_size=512, use_pallas=True), tiny_data) \
         == "pallas"
 
 
 def test_user_bound_restricts_pallas(tiny_data, fake_tpu):
     assert _backend_for(
-        tiny_cfg("nsgan", batch_size=512, pallas_max_batch=256),
+        tiny_cfg("nsgan", batch_size=512, use_pallas=True,
+                 pallas_max_batch=256),
         tiny_data) == "xla"
     assert _backend_for(
-        tiny_cfg("nsgan", batch_size=256, pallas_max_batch=256),
+        tiny_cfg("nsgan", batch_size=256, use_pallas=True,
+                 pallas_max_batch=256),
         tiny_data) == "pallas"
 
 
 def test_second_order_variants_pin_xla(tiny_data, fake_tpu):
     # custom_vjp kernels have no forward-mode rule; grad-of-grad
     # variants must stay on the XLA path regardless of batch
-    assert _backend_for(tiny_cfg("wgangp", batch_size=100), tiny_data) \
+    assert _backend_for(
+        tiny_cfg("wgangp", batch_size=100, use_pallas=True), tiny_data) \
         == "xla"
 
 
+def test_tp_pins_xla(tiny_data, fake_tpu):
+    # the whole-MLP kernel is per-device; TP shards weights across
+    # devices, so tensor parallelism forces the XLA path
+    import jax
+    from generative_models_tpu.parallel.tp import make_mesh_2d
+    devs = jax.devices("cpu")
+    if len(devs) < 2:
+        pytest.skip("need 2 devices")
+    mesh = make_mesh_2d(1, 2, devices=devs)
+    cfg = tiny_cfg("nsgan", batch_size=16, use_pallas=True, tp=2)
+    Trainer(config=cfg, data=tiny_data, mesh=mesh)
+    assert ops.get_backend() == "xla"
+
+
 def test_no_pallas_without_tpu(tiny_data):
-    assert _backend_for(tiny_cfg("nsgan", batch_size=100), tiny_data) \
+    assert _backend_for(
+        tiny_cfg("nsgan", batch_size=100, use_pallas=True), tiny_data) \
         == "xla"
