@@ -27,7 +27,7 @@ BATCH = 100
 HIDDEN = 400
 Z_DIM = 128
 TORCH_STEPS = 120
-SCAN = 8000
+SCAN = 16000
 JAX_WARMUP = SCAN
 JAX_STEPS = 5 * SCAN
 
