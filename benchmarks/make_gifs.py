@@ -21,7 +21,9 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from generative_models_tpu.config import VARIANTS  # noqa: E402
-from generative_models_tpu.utils.gif import pngs_to_gif  # noqa: E402
+from generative_models_tpu.utils.gif import (  # noqa: E402
+    read_png_gray, write_gif_gray,
+)
 
 GIF_LINE = ("**Training progression** (one frame per epoch):\n\n"
             "![{v} training progression](../gallery/{v}_train.gif)\n")
@@ -34,26 +36,27 @@ def main() -> int:
     ap.add_argument("--docs", default="docs/variants")
     ap.add_argument("--delay-cs", type=int, default=25)
     ap.add_argument("--max-frames", type=int, default=40,
-                    help="subsample long runs to this many frames")
+                    help="subsample long runs to this many frames (>= 2)")
     args = ap.parse_args()
+    if args.max_frames < 2:
+        ap.error("--max-frames must be >= 2")
 
     made = []
     for v in VARIANTS:
-        frames = sorted(glob.glob(os.path.join(args.runs, v, "epoch*.png")))
-        if len(frames) < 2:
+        paths = sorted(glob.glob(os.path.join(args.runs, v, "epoch*.png")))
+        if len(paths) < 2:
             print(f"{v}: no epoch frames, skipped")
             continue
-        # runs/ may mix grids from different configs (sample_n); keep
-        # only frames matching the final grid's shape
-        from generative_models_tpu.utils.gif import read_png_gray
-        ref_shape = read_png_gray(frames[-1]).shape
-        frames = [f for f in frames if read_png_gray(f).shape == ref_shape]
+        # decode once; runs/ may mix grids from different configs
+        # (sample_n), so keep only frames matching the final grid shape
+        frames = [read_png_gray(p) for p in paths]
+        frames = [f for f in frames if f.shape == frames[-1].shape]
         if len(frames) > args.max_frames:
             stride = (len(frames) - 1) / (args.max_frames - 1)
             frames = [frames[round(i * stride)]
                       for i in range(args.max_frames)]
         out = os.path.join(args.out, f"{v}_train.gif")
-        pngs_to_gif(frames, out, delay_cs=args.delay_cs)
+        write_gif_gray(out, frames, delay_cs=args.delay_cs)
         made.append(v)
         print(f"{v}: {len(frames)} frames -> {out} "
               f"({os.path.getsize(out) // 1024} KB)")

@@ -48,6 +48,9 @@ def main():
     ap.add_argument("--batch", type=int, default=100)
     ap.add_argument("--prng", default=None,
                     help="jax_default_prng_impl override (e.g. rbg)")
+    ap.add_argument("--backend", default=None, choices=("xla", "pallas"),
+                    help="compute path; default = the framework default "
+                         "(Config.use_pallas)")
     args = ap.parse_args()
     if args.prng:
         jax.config.update("jax_default_prng_impl", args.prng)
@@ -61,7 +64,13 @@ def main():
     cfg = variant_config("nsgan", batch_size=args.batch,
                          scan_steps=args.scan, seed=0)
     from generative_models_tpu.ops.linear import pallas_backend_available
-    ops.set_backend("pallas" if pallas_backend_available() else "xla")
+    if args.backend is None:
+        # mirror the Trainer's measured-default policy (config.py)
+        args.backend = ("pallas" if cfg.use_pallas
+                        and pallas_backend_available() else "xla")
+    if args.backend == "pallas" and not pallas_backend_available():
+        raise SystemExit("pallas backend requested but no TPU available")
+    ops.set_backend(args.backend)
     spec = get_variant("nsgan")
     rng = jax.random.PRNGKey(0)
     state = step_lib.init_state(spec, cfg, rng)
@@ -154,6 +163,7 @@ def main():
     for k, v in results.items():
         print(f"{k:12s} {v:10.1f} steps/s")
     out = {"config": {"batch": args.batch, "scan": args.scan,
+                      "backend": args.backend,
                       "prng": args.prng or "threefry"},
            "steps_per_sec": {k: round(v, 1) for k, v in results.items()}}
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -54,6 +54,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="no training: restore --ckpt and write a "
                         "sample grid (the reference's post-training "
                         "generate_images call)")
+    p.add_argument("--export-sampler", default=None, metavar="PATH",
+                   help="after training (or from --ckpt with "
+                        "--sample-only), serialize the sampler as a "
+                        "self-contained StableHLO artifact: "
+                        "seed -> [sample_n, 784] images, params baked "
+                        "in, loadable without this framework "
+                        "(utils/export.py)")
     return p
 
 
@@ -73,7 +80,10 @@ def main(argv=None) -> int:
         jax.config.update("jax_debug_nans", True)
 
     mesh = None
-    if cfg.dp > 1:
+    if cfg.tp > 1:
+        from generative_models_tpu.parallel.tp import make_mesh_2d
+        mesh = make_mesh_2d(cfg.dp, cfg.tp)
+    elif cfg.dp > 1:
         from generative_models_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(cfg.dp)
 
@@ -87,9 +97,11 @@ def main(argv=None) -> int:
         t.load_model(args.ckpt)
         path = t.generate_images(
             tag=f"samples_step{int(t.state['step']):06d}")
-        print(json.dumps({"variant": cfg.variant,
-                          "step": int(t.state["step"]),
-                          "samples": path}))
+        out = {"variant": cfg.variant, "step": int(t.state["step"]),
+               "samples": path}
+        if args.export_sampler:
+            out["sampler"] = _export_sampler(t, args.export_sampler)
+        print(json.dumps(out))
         return 0
     if args.ckpt and cfg.resume and ckpt_exists(args.ckpt, cfg.ckpt_backend):
         t.load_model(args.ckpt)
@@ -135,9 +147,18 @@ def main(argv=None) -> int:
         scores = score_samples(clf, t.sample(1024))
         print(json.dumps({"classifier_test_acc": round(acc, 4),
                           **{k: round(v, 4) for k, v in scores.items()}}))
+    if args.export_sampler:
+        print("exported:", _export_sampler(t, args.export_sampler))
     if args.ckpt:
         print("saved:", t.save_model(args.ckpt))
     return 0
+
+
+def _export_sampler(t, path: str) -> str:
+    from generative_models_tpu.utils.export import save_sampler
+    params = (t.state["g_params"] if t.spec.adversarial
+              else t.state["params"])
+    return save_sampler(path, t.spec, t.cfg, params, t.cfg.sample_n)
 
 
 if __name__ == "__main__":

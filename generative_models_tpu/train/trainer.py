@@ -52,6 +52,12 @@ class Trainer:
         self._tp_mesh = (mesh is not None and MODEL_AXIS in mesh.axis_names
                          and dict(zip(mesh.axis_names,
                                       mesh.devices.shape))[MODEL_AXIS] > 1)
+        if self.cfg.tp > 1 and not self._tp_mesh:
+            # never silently drop the requested tensor parallelism
+            raise ValueError(
+                f"Config.tp={self.cfg.tp} but the provided mesh "
+                f"{mesh.axis_names} has no '{MODEL_AXIS}' axis > 1; "
+                f"build it with parallel.tp.make_mesh_2d(dp, tp)")
 
         # Pallas kernels only make sense on a TPU backend; the XLA twin
         # is the reference implementation everywhere else. Measured

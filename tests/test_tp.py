@@ -111,3 +111,47 @@ def test_tp_checkpoint_roundtrip(tiny_data, tmp_path):
     # and training continues from the restored state
     t2.train(steps=4)
     assert int(t2.state["step"]) == step_before + 4
+
+
+def test_tp_never_silently_dropped(tiny_data):
+    """cfg.tp>1 with a mesh lacking the model axis must raise, not
+    train pure-DP while the user believes TP is on (code-review r2)."""
+    from generative_models_tpu.parallel.mesh import make_mesh
+    devs = jax.devices("cpu")
+    if len(devs) < 2:
+        pytest.skip("need 2 devices")
+    mesh_1d = make_mesh(2, devices=devs)
+    with pytest.raises(ValueError, match="model"):
+        Trainer(config=tiny_cfg("nsgan", tp=2, use_pallas=False),
+                data=tiny_data, mesh=mesh_1d)
+
+
+def test_cli_builds_2d_mesh_for_tp(monkeypatch, tiny_data):
+    """--tp routes through make_mesh_2d (the CLI used to always build
+    the 1-D data mesh and silently drop tensor parallelism)."""
+    import generative_models_tpu.cli as cli
+    captured = {}
+
+    import generative_models_tpu.parallel.tp as tp_mod
+
+    def fake_mesh_2d(dp, tp, devices=None):
+        captured["dp_tp"] = (dp, tp)
+        return make_mesh_2d(dp, tp, devices=jax.devices("cpu"))
+
+    monkeypatch.setattr(tp_mod, "make_mesh_2d", fake_mesh_2d)
+
+    class Stop(Exception):
+        pass
+
+    class FakeTrainer:
+        def __init__(self, config=None, mesh=None, **kw):
+            captured["mesh_axes"] = mesh.axis_names if mesh else None
+            raise Stop
+
+    import generative_models_tpu.train.trainer as tr_mod
+    monkeypatch.setattr(tr_mod, "Trainer", FakeTrainer)
+    with pytest.raises(Stop):
+        cli.main(["--variant", "nsgan", "--dp", "2", "--tp", "4",
+                  "--dataset", "synthetic"])
+    assert captured["dp_tp"] == (2, 4)
+    assert captured["mesh_axes"] == ("data", "model")
