@@ -147,18 +147,18 @@ def main(argv=None) -> int:
         scores = score_samples(clf, t.sample(1024))
         print(json.dumps({"classifier_test_acc": round(acc, 4),
                           **{k: round(v, 4) for k, v in scores.items()}}))
-    if args.export_sampler:
-        print("exported:", _export_sampler(t, args.export_sampler))
+    # checkpoint FIRST: an export failure must never cost the run
     if args.ckpt:
         print("saved:", t.save_model(args.ckpt))
+    if args.export_sampler:
+        print("exported:", _export_sampler(t, args.export_sampler))
     return 0
 
 
 def _export_sampler(t, path: str) -> str:
     from generative_models_tpu.utils.export import save_sampler
-    params = (t.state["g_params"] if t.spec.adversarial
-              else t.state["params"])
-    return save_sampler(path, t.spec, t.cfg, params, t.cfg.sample_n)
+    return save_sampler(path, t.spec, t.cfg, t.generator_params,
+                        t.cfg.sample_n)
 
 
 if __name__ == "__main__":

@@ -52,12 +52,16 @@ class Trainer:
         self._tp_mesh = (mesh is not None and MODEL_AXIS in mesh.axis_names
                          and dict(zip(mesh.axis_names,
                                       mesh.devices.shape))[MODEL_AXIS] > 1)
-        if self.cfg.tp > 1 and not self._tp_mesh:
-            # never silently drop the requested tensor parallelism
-            raise ValueError(
-                f"Config.tp={self.cfg.tp} but the provided mesh "
-                f"{mesh.axis_names} has no '{MODEL_AXIS}' axis > 1; "
-                f"build it with parallel.tp.make_mesh_2d(dp, tp)")
+        if self.cfg.tp > 1:
+            # never silently train at a different TP degree than asked
+            axis = (dict(zip(mesh.axis_names, mesh.devices.shape))
+                    .get(MODEL_AXIS, 1) if mesh is not None else 1)
+            if axis != self.cfg.tp:
+                raise ValueError(
+                    f"Config.tp={self.cfg.tp} but the provided mesh "
+                    f"{mesh.axis_names if mesh else None} has "
+                    f"'{MODEL_AXIS}' axis size {axis}; build it with "
+                    f"parallel.tp.make_mesh_2d(dp, tp)")
 
         # Pallas kernels only make sense on a TPU backend; the XLA twin
         # is the reference implementation everywhere else. Measured
@@ -388,13 +392,19 @@ class Trainer:
         return {k: float(v) for k, v in jax.device_get(out).items()}
 
     # --------------------------------------------------------------
+    @property
+    def generator_params(self):
+        """The sampling-side params (generator for adversarial
+        variants, the full model for VAE-family) — single source for
+        sample(), export, and tests."""
+        return (self.state["g_params"] if self.spec.adversarial
+                else self.state["params"])
+
     def sample(self, n: Optional[int] = None) -> np.ndarray:
         """Draw n samples from the generator/decoder prior."""
         n = n or self.cfg.sample_n
         self._sample_rng, key = jax.random.split(self._sample_rng)
-        params = (self.state["g_params"] if self.spec.adversarial
-                  else self.state["params"])
-        return np.asarray(self._sample_fn(params, key, n))
+        return np.asarray(self._sample_fn(self.generator_params, key, n))
 
     def generate_images(self, tag: str = "samples", n: Optional[int] = None,
                         out_dir: Optional[str] = None) -> str:

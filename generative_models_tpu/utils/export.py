@@ -38,11 +38,21 @@ def export_sampler(spec, cfg: Config, params: Any, n: int) -> bytes:
     params = jax.device_get(params)  # bake concrete host values
 
     def sample(seed):
-        key = jax.random.PRNGKey(seed)
+        # typed key with the impl pinned: the artifact must stay
+        # bit-stable per seed and platform-portable even if the
+        # process-global PRNG impl is rbg (platform-dependent bits)
+        key = jax.random.key(seed, impl="threefry2x32")
         return spec.sample(params, key, n, cfg)
 
-    exp = jax_export.export(jax.jit(sample), platforms=PLATFORMS)(
-        jax.ShapeDtypeStruct((), jnp.int32))
+    from generative_models_tpu import ops
+    prev_backend = ops.get_backend()
+    ops.set_backend("xla")  # pallas_call can't lower for the cpu
+    #                         platform of a multi-platform export
+    try:
+        exp = jax_export.export(jax.jit(sample), platforms=PLATFORMS)(
+            jax.ShapeDtypeStruct((), jnp.int32))
+    finally:
+        ops.set_backend(prev_backend)
     return exp.serialize()
 
 

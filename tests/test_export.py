@@ -17,8 +17,7 @@ from tests.conftest import tiny_cfg
 def test_export_roundtrip(variant, tiny_data, tmp_path):
     t = Trainer(config=tiny_cfg(variant), data=tiny_data)
     t.train(steps=4)
-    params = (t.state["g_params"] if t.spec.adversarial
-              else t.state["params"])
+    params = t.generator_params
     path = str(tmp_path / "sampler.shlo")
     save_sampler(path, t.spec, t.cfg, params, n=8)
 
@@ -47,4 +46,23 @@ def test_exported_blob_is_framework_free(tiny_data, tmp_path):
     import jax.numpy as jnp
     exp = jax_export.deserialize(open(path, "rb").read())
     out = np.asarray(exp.call(jnp.int32(7)))
+    assert out.shape == (4, 784) and np.isfinite(out).all()
+
+
+def test_export_forces_xla_and_restores_backend(tiny_data, tmp_path):
+    """Export must trace the XLA path even when the Pallas backend is
+    globally active (pallas_call can't lower for the cpu platform of a
+    multi-platform artifact), and must restore the backend after
+    (code-review r2)."""
+    from generative_models_tpu import ops
+    t = Trainer(config=tiny_cfg("nsgan"), data=tiny_data)
+    t.train(steps=2)
+    ops.set_backend("pallas")
+    try:
+        path = save_sampler(str(tmp_path / "s.shlo"), t.spec, t.cfg,
+                            t.generator_params, n=4)
+        assert ops.get_backend() == "pallas"  # restored
+    finally:
+        ops.set_backend("xla")
+    out = np.asarray(load_sampler(path)(3))
     assert out.shape == (4, 784) and np.isfinite(out).all()

@@ -155,3 +155,12 @@ def test_cli_builds_2d_mesh_for_tp(monkeypatch, tiny_data):
                   "--dataset", "synthetic"])
     assert captured["dp_tp"] == (2, 4)
     assert captured["mesh_axes"] == ("data", "model")
+
+
+def test_tp_degree_mismatch_raises(tiny_data):
+    """cfg.tp must equal the mesh's model-axis size — a swapped
+    dp/tp factorization must not silently train at the wrong degree."""
+    mesh_4x2 = _cpu_mesh(4, 2)
+    with pytest.raises(ValueError, match="axis size 2"):
+        Trainer(config=tiny_cfg("nsgan", dp=2, tp=4, use_pallas=False),
+                data=tiny_data, mesh=mesh_4x2)
