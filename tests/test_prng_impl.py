@@ -56,3 +56,17 @@ def test_rbg_checkpoint_roundtrip(tiny_data, tmp_path):
 def test_default_impl_is_threefry(tiny_data):
     t = Trainer(config=tiny_cfg("nsgan"), data=tiny_data)
     assert t.state["rng"].dtype == np.uint32  # raw threefry key
+
+
+def test_rbg_orbax_roundtrip(tiny_data, tmp_path):
+    """orbax serializes typed key arrays natively (npz goes through
+    key_data/wrap_key_data — both backends must round-trip rbg)."""
+    cfg = tiny_cfg("nsgan", prng_impl="rbg", ckpt_backend="orbax")
+    t = Trainer(config=cfg, data=tiny_data)
+    t.train(steps=4)
+    t.save_model(str(tmp_path / "ck"))
+    t2 = Trainer(config=cfg, data=tiny_data)
+    t2.load_model(str(tmp_path / "ck"))
+    assert str(t2.state["rng"].dtype) == "key<rbg>"
+    for a, b in zip(_flat(t.state), _flat(t2.state)):
+        np.testing.assert_array_equal(a, b)
