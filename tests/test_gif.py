@@ -90,3 +90,20 @@ def test_pngs_to_gif(tmp_path):
     out = pngs_to_gif(paths, str(tmp_path / "t.gif"))
     blob = open(out, "rb").read()
     assert blob[:6] == b"GIF89a" and blob[-1:] == b"\x3B"
+
+
+def test_lzw_roundtrip_property():
+    """Property: arbitrary byte payloads round-trip (hypothesis)."""
+    hyp = pytest.importorskip("hypothesis")
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.binary(min_size=0, max_size=4096))
+    def check(payload):
+        if payload:
+            assert _lzw_decode(_lzw_encode(payload)) == payload
+        else:
+            # empty frame: encoder emits clear+end only
+            assert _lzw_decode(_lzw_encode(payload)) == b""
+
+    check()
