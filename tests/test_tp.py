@@ -40,7 +40,8 @@ def _run(variant, tiny_data, mesh=None, steps=8, **kw):
     return t
 
 
-@pytest.mark.parametrize("variant", ["nsgan", "vae", "infogan", "began"])
+@pytest.mark.parametrize("variant", ["nsgan", "vae", "infogan", "began",
+                                     "wgan", "cgan"])
 def test_tp_matches_single_device(variant, tiny_data):
     """dp=2 x tp=4 trains the same model as one device (same seed)."""
     mesh = _cpu_mesh(2, 4)
