@@ -165,3 +165,21 @@ def test_tp_degree_mismatch_raises(tiny_data):
     with pytest.raises(ValueError, match="axis size 2"):
         Trainer(config=tiny_cfg("nsgan", dp=2, tp=4, use_pallas=False),
                 data=tiny_data, mesh=mesh_4x2)
+
+
+def test_tp_second_order_and_sampling(tiny_data):
+    """WGAN-GP's grad-of-grad penalty composes with GSPMD-sharded
+    params (pure XLA path — custom_vjp is pinned off for second-order
+    variants), and sampling/evaluate work from a TP-sharded state."""
+    mesh = _cpu_mesh(2, 4)
+    ref = Trainer(config=tiny_cfg("wgangp", steps=4, use_pallas=False),
+                  data=tiny_data)
+    ref.train(steps=4)
+    t = _run("wgangp", tiny_data, mesh=mesh, steps=4)
+    for a, b in zip(_leaves(ref.state), _leaves(t.state)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5)
+    imgs = t.sample(8)
+    assert imgs.shape == (8, 784) and np.isfinite(imgs).all()
+    m = t.evaluate("test", max_batches=2)
+    assert all(np.isfinite(v) for v in m.values())
