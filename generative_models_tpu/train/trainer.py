@@ -64,10 +64,10 @@ class Trainer:
                     f"parallel.tp.make_mesh_2d(dp, tp)")
 
         # Pallas kernels only make sense on a TPU backend; the XLA twin
-        # is the reference implementation everywhere else. Measured
-        # end-to-end (benchmarks/crossover.py) the kernel wins or ties
-        # at every batch, so the default bound is 0 (unbounded); a
-        # positive pallas_max_batch restricts Pallas to small batches.
+        # is the reference implementation everywhere else — and, per
+        # the fenced end-to-end crossover (BASELINE.md), also the
+        # measured DEFAULT compute path. use_pallas opts in, bounded by
+        # pallas_max_batch (0 = no bound) when positive.
         from generative_models_tpu.ops.linear import pallas_backend_available
         wants_pallas = (
             self.cfg.use_pallas
