@@ -107,3 +107,37 @@ def test_lzw_roundtrip_property():
             assert _lzw_decode(_lzw_encode(payload)) == b""
 
     check()
+
+
+def test_make_gifs_main(tmp_path, monkeypatch):
+    """benchmarks/make_gifs.py end-to-end on a fake runs/ tree:
+    stitches matching-shape frames, skips variants without frames,
+    patches the variant doc."""
+    import sys as _sys
+    sys_path_added = str(tmp_path)  # noqa: F841
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "make_gifs", "benchmarks/make_gifs.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    rng = np.random.default_rng(0)
+    run_dir = tmp_path / "runs" / "nsgan"
+    for i in range(4):
+        save_image_grid(str(run_dir / f"epoch{i:03d}.png"),
+                        rng.random((16, 28, 28)).astype(np.float32))
+    # one off-shape frame must be filtered, not crash the stitch
+    save_image_grid(str(run_dir / "epoch990.png"),
+                    rng.random((4, 28, 28)).astype(np.float32), nrow=2)
+    docs = tmp_path / "docs"
+    (docs / "nsgan.md").parent.mkdir(parents=True, exist_ok=True)
+    (docs / "nsgan.md").write_text("# NSGAN\n\n| samples | losses |\n")
+    out = tmp_path / "gallery"
+
+    monkeypatch.setattr(_sys, "argv", [
+        "make_gifs.py", "--runs", str(tmp_path / "runs"),
+        "--out", str(out), "--docs", str(docs), "--max-frames", "3"])
+    assert mod.main() == 0
+    gif = out / "nsgan_train.gif"
+    assert gif.exists() and gif.read_bytes()[:6] == b"GIF89a"
+    assert "nsgan_train.gif" in (docs / "nsgan.md").read_text()
