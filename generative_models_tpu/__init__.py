@@ -27,7 +27,7 @@ markers on recalled hyperparameters (all centralised in
 ``generative_models_tpu.config``).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 import os as _os
 
