@@ -48,9 +48,16 @@ def main() -> int:
             print(f"{v}: no epoch frames, skipped")
             continue
         # decode once; runs/ may mix grids from different configs
-        # (sample_n), so keep only frames matching the final grid shape
+        # (sample_n), so keep the MAJORITY shape — one stray grid must
+        # not poison the stitch (nor pick itself as the reference by
+        # happening to sort last)
         frames = [read_png_gray(p) for p in paths]
-        frames = [f for f in frames if f.shape == frames[-1].shape]
+        from collections import Counter
+        keep, _ = Counter(f.shape for f in frames).most_common(1)[0]
+        frames = [f for f in frames if f.shape == keep]
+        if len(frames) < 2:
+            print(f"{v}: no consistent frame shape, skipped")
+            continue
         if len(frames) > args.max_frames:
             stride = (len(frames) - 1) / (args.max_frames - 1)
             frames = [frames[round(i * stride)]

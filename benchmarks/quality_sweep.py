@@ -23,6 +23,11 @@ def main():
     ap.add_argument("--scan", type=int, default=1000)
     ap.add_argument("--n", type=int, default=2048)
     ap.add_argument("--variants", nargs="*", default=None)
+    ap.add_argument("--out", default=None,
+                    help="output JSON path (default "
+                         "quality_results.json next to this script); "
+                         "use e.g. quality_results_6k.json so budgets "
+                         "don't clobber each other")
     args = ap.parse_args()
 
     from generative_models_tpu.config import variant_config
@@ -56,8 +61,8 @@ def main():
         results.append(row)
         print(json.dumps(row), flush=True)
 
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "quality_results.json")
+    out = args.out or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "quality_results.json")
     with open(out, "w") as f:
         json.dump({"classifier_test_acc": round(acc, 4),
                    "n_samples": args.n, "rows": results}, f, indent=1)

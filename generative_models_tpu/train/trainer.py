@@ -52,16 +52,17 @@ class Trainer:
         self._tp_mesh = (mesh is not None and MODEL_AXIS in mesh.axis_names
                          and dict(zip(mesh.axis_names,
                                       mesh.devices.shape))[MODEL_AXIS] > 1)
-        if self.cfg.tp > 1:
-            # never silently train at a different TP degree than asked
-            axis = (dict(zip(mesh.axis_names, mesh.devices.shape))
-                    .get(MODEL_AXIS, 1) if mesh is not None else 1)
-            if axis != self.cfg.tp:
-                raise ValueError(
-                    f"Config.tp={self.cfg.tp} but the provided mesh "
-                    f"{mesh.axis_names if mesh else None} has "
-                    f"'{MODEL_AXIS}' axis size {axis}; build it with "
-                    f"parallel.tp.make_mesh_2d(dp, tp)")
+        # never silently train at a different TP degree than asked —
+        # in EITHER direction: cfg.tp>1 with a model-axis-less mesh,
+        # or a model-axis mesh passed while cfg.tp says 1
+        axis = (dict(zip(mesh.axis_names, mesh.devices.shape))
+                .get(MODEL_AXIS, 1) if mesh is not None else 1)
+        if (self.cfg.tp > 1 or axis > 1) and axis != self.cfg.tp:
+            raise ValueError(
+                f"Config.tp={self.cfg.tp} but the provided mesh "
+                f"{mesh.axis_names if mesh else None} has "
+                f"'{MODEL_AXIS}' axis size {axis}; build it with "
+                f"parallel.tp.make_mesh_2d(dp, tp) and matching cfg")
 
         # Pallas kernels only make sense on a TPU backend; the XLA twin
         # is the reference implementation everywhere else — and, per

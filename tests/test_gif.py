@@ -113,11 +113,12 @@ def test_make_gifs_main(tmp_path, monkeypatch):
     """benchmarks/make_gifs.py end-to-end on a fake runs/ tree:
     stitches matching-shape frames, skips variants without frames,
     patches the variant doc."""
-    import sys as _sys
-    sys_path_added = str(tmp_path)  # noqa: F841
     import importlib.util
+    import os
+    import sys as _sys
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spec = importlib.util.spec_from_file_location(
-        "make_gifs", "benchmarks/make_gifs.py")
+        "make_gifs", os.path.join(repo_root, "benchmarks", "make_gifs.py"))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
 
@@ -141,3 +142,13 @@ def test_make_gifs_main(tmp_path, monkeypatch):
     gif = out / "nsgan_train.gif"
     assert gif.exists() and gif.read_bytes()[:6] == b"GIF89a"
     assert "nsgan_train.gif" in (docs / "nsgan.md").read_text()
+    # the MAJORITY shape must win: 3 subsampled frames of the 4
+    # consistent grids survive, the stray small grid is dropped —
+    # count the GIF's image descriptors (0x2C separator blocks)
+    PIL = pytest.importorskip("PIL.Image")
+    from PIL import ImageSequence
+    dec = list(ImageSequence.Iterator(PIL.open(str(gif))))
+    assert len(dec) == 3
+    big = save_image_grid(str(tmp_path / "ref.png"),
+                          np.zeros((16, 28, 28), np.float32))
+    assert dec[0].size == PIL.open(big).size  # 16-sample grid, not 4

@@ -183,3 +183,13 @@ def test_tp_second_order_and_sampling(tiny_data):
     assert imgs.shape == (8, 784) and np.isfinite(imgs).all()
     m = t.evaluate("test", max_batches=2)
     assert all(np.isfinite(v) for v in m.values())
+
+
+def test_model_mesh_with_tp1_raises(tiny_data):
+    """The guard fires in BOTH directions: a model-axis mesh passed
+    while cfg.tp=1 must raise cleanly, not silently train TP or die
+    mid-device_put with a divisibility error (code-review r2, pass 3)."""
+    mesh = _cpu_mesh(2, 4)
+    with pytest.raises(ValueError, match="axis size 4"):
+        Trainer(config=tiny_cfg("nsgan", use_pallas=False),
+                data=tiny_data, mesh=mesh)
