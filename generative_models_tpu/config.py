@@ -34,6 +34,16 @@ class Config:
     # SURVEY §2.1; torchvision MNIST has no val split, so it comes out
     # of train). 0 keeps the full train split (round-1 behavior).
     val_size: int = 0
+    # HBM-resident dtype of the train split. "uint8" keeps the raw
+    # bytes resident and decodes AFTER the per-step gather with the
+    # same multiply the host conversion uses — trajectories stay
+    # bit-identical (tests/test_data.py). 4x smaller resident split and
+    # gather read traffic; measured NEUTRAL on throughput at batch 100
+    # (35.2k vs 35.5k steps/s — the gather is op-bound, not
+    # bandwidth-bound, at this scale), so the default stays float32 and
+    # "uint8" is the footprint knob. Requires uint8 source images (real
+    # MNIST and the synthetic stand-in both are).
+    data_storage: str = "float32"  # "float32" | "uint8"
 
     # --- model --------------------------------------------------------
     z_dim: int = 128               # TO-VERIFY (R-low; some repos use 100)
@@ -140,6 +150,10 @@ class Config:
             raise ValueError(f"optimizer must be adam|rmsprop, got {self.optimizer!r}")
         if self.vae_recon not in ("bce", "mse"):
             raise ValueError(f"vae_recon must be bce|mse, got {self.vae_recon!r}")
+        if self.data_storage not in ("float32", "uint8"):
+            raise ValueError(
+                f"data_storage must be float32|uint8, got "
+                f"{self.data_storage!r}")
         if self.ckpt_backend not in ("npz", "orbax"):
             raise ValueError(
                 f"ckpt_backend must be npz|orbax, got {self.ckpt_backend!r}")

@@ -217,6 +217,14 @@ def load_dataset(cfg) -> Dict[str, np.ndarray]:
     return load_mnist(cfg.data_dir, allow_synthetic=True, seed=cfg.seed)
 
 
+# u8 -> [0,1] f32 as a MULTIPLY by this constant, on host and device
+# alike: XLA strength-reduces a divide-by-constant to a reciprocal
+# multiply whose result differs from numpy's divide by 1 ULP, so using
+# the same explicit multiply everywhere keeps uint8-resident storage
+# (Config.data_storage) bit-identical to host-converted float storage.
+INV_255 = np.float32(1.0 / 255.0)
+
+
 def to_flat_float(data: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """Trainer-form arrays: images float32 [N, 784] in [0, 1] (the
     reference's ToTensor + flatten), labels int32. Extra splits (e.g.
@@ -227,7 +235,7 @@ def to_flat_float(data: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         if k.startswith("x"):
             x = v.astype(np.float32)
             if v.dtype == np.uint8 or x.max() > 1.0:
-                x = x / 255.0
+                x = x * INV_255
             out[k] = x.reshape(x.shape[0], -1)
         else:
             out[k] = v.astype(np.int32)

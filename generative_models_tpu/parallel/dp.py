@@ -87,7 +87,8 @@ def build_shard_map_many_steps(spec, cfg, steps_per_epoch: int,
                + jnp.arange(local_b)[None, :])
         rows = jnp.take(perm, idx.reshape(-1), axis=0)
         return {
-            "image": jnp.take(images, rows, axis=0).reshape(
+            "image": step_lib.decode_images(
+                jnp.take(images, rows, axis=0)).reshape(
                 nb, local_b, images.shape[-1]),
             "label": jnp.take(labels, rows, axis=0).reshape(nb, local_b),
         }

@@ -79,6 +79,20 @@ def batches_per_step(spec, cfg: Config) -> int:
     return max(cfg.d_steps, 1) if spec.adversarial else 1
 
 
+def decode_images(x):
+    """Post-gather decode for uint8-resident datasets
+    (Config.data_storage="uint8": 4x less HBM gather traffic). The
+    u8->f32 conversion is the SAME multiply-by-INV_255 float32 op the
+    host-side `to_flat_float` uses (a literal `/255.0` would NOT match:
+    XLA strength-reduces it to a reciprocal multiply 1 ULP off numpy's
+    divide), so trajectories are bit-identical to float32-resident
+    storage (tests/test_data.py). No-op for float inputs."""
+    if x.dtype == jnp.uint8:
+        from generative_models_tpu.data.mnist import INV_255
+        return x.astype(jnp.float32) * INV_255
+    return x
+
+
 # ------------------------------------------------------------------
 # Step builders
 # ------------------------------------------------------------------
@@ -236,7 +250,7 @@ def build_many_steps(spec, cfg: Config, steps_per_epoch: int,
         idx = jax.lax.dynamic_slice(
             perm_stack, (e, r), (1, rows_per_step)).reshape(rows_per_step)
         flat = {
-            "image": jnp.take(images, idx, axis=0),
+            "image": decode_images(jnp.take(images, idx, axis=0)),
             "label": jnp.take(labels, idx, axis=0),
         }
         batches = jax.tree.map(

@@ -51,3 +51,34 @@ def test_gather_batch_matches_numpy(tiny_data):
 def test_perm_is_permutation():
     perm = make_perm(jax.random.PRNGKey(3), 100)
     assert sorted(np.asarray(perm).tolist()) == list(range(100))
+
+
+def test_uint8_storage_bitwise_equal_trajectory(tiny_data, make_cfg):
+    """uint8-resident storage decodes post-gather with the same f32 ops
+    as the host conversion — training must be BIT-identical."""
+    from generative_models_tpu.train.trainer import Trainer
+
+    outs = []
+    for storage in ("float32", "uint8"):
+        t = Trainer(config=make_cfg("nsgan", data_storage=storage,
+                                    val_size=64),
+                    data=tiny_data)
+        assert t.x_train.dtype == (jnp.uint8 if storage == "uint8"
+                                   else jnp.float32)
+        t.train(steps=8, sample_every=-1)
+        outs.append(jax.device_get(
+            {"g": t.state["g_params"], "d": t.state["d_params"]}))
+        # eval on the train split decodes too
+        assert np.isfinite(t.evaluate("train", max_batches=2)["g_loss"])
+    jax.tree.map(np.testing.assert_array_equal, outs[0], outs[1])
+
+
+def test_uint8_storage_rejects_float_source(tiny_data, make_cfg):
+    from generative_models_tpu.train.trainer import Trainer
+
+    float_data = {k: (v.astype(np.float32) / 255.0 if k.startswith("x")
+                      else v) for k, v in tiny_data.items()}
+    import pytest
+    with pytest.raises(ValueError, match="uint8"):
+        Trainer(config=make_cfg("nsgan", data_storage="uint8"),
+                data=float_data)

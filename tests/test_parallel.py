@@ -188,3 +188,18 @@ def test_vae_shard_map_trains(tiny_data):
     assert np.all(np.isfinite(hist["loss"]))
     # loss should broadly decrease from a cold start
     assert hist["loss"][-1] < hist["loss"][0]
+
+
+def test_shard_map_uint8_storage_bitwise_matches_f32(tiny_data):
+    """The shard_map gather's post-gather u8 decode (parallel/dp.py)
+    is the same multiply as the host conversion — storage dtype must
+    not change the shard_map trajectory at all."""
+    cfg32 = tiny_cfg("nsgan", dp_impl="shard_map")
+    cfgu8 = tiny_cfg("nsgan", dp_impl="shard_map", data_storage="uint8")
+    outs = []
+    for cfg in (cfg32, cfgu8):
+        t = Trainer(config=cfg, data=tiny_data, mesh=cpu_mesh(4))
+        t.train(steps=6, sample_every=-1)
+        outs.append(jax.device_get(
+            {"g": t.state["g_params"], "d": t.state["d_params"]}))
+    jax.tree.map(np.testing.assert_array_equal, outs[0], outs[1])

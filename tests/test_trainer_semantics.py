@@ -63,10 +63,12 @@ def test_val_split_carve_and_evaluate(tiny_data):
     m = t.evaluate("val")
     assert np.isfinite(m["d_loss"]) and np.isfinite(m["g_loss"])
     # carve is deterministic: last 64 rows of the loaded train split
+    # (converted with the canonical multiply — data/mnist.py::INV_255)
+    from generative_models_tpu.data.mnist import INV_255
     np.testing.assert_array_equal(
         np.asarray(t.x_val),
         tiny_data["x_train"].reshape(n_train, -1)[-64:].astype(np.float32)
-        / 255.0)
+        * INV_255)
 
 
 def test_val_split_absent_raises(tiny_data):
