@@ -1,60 +1,182 @@
-"""Generate the README-gallery equivalent: train every variant for a
-while on the attached chip and save a sample grid + loss curve per
-variant under docs/gallery/, plus docs/gallery.md embedding them.
+"""Generate the README-gallery equivalent: train every variant on the
+attached chip, save a sample grid + loss curve per variant under
+docs/gallery/, and (re)write docs/gallery.md — the full page: the
+two-budget quality table (from the quality_sweep JSONs when present),
+the dataset-provenance notice, and a per-variant row with samples,
+losses, and the training-progression GIF (when make_gifs.py has run).
 
-`python benchmarks/gallery.py [--steps N]`
+    python benchmarks/gallery.py [--steps N] [--variants a b ...]
+    python benchmarks/gallery.py --md-only     # rewrite the md from
+                                               # existing artifacts only
+
+A hand-written analysis paragraph survives regeneration: anything
+between `<!-- analysis -->` and `<!-- /analysis -->` in the existing
+docs/gallery.md is carried over verbatim (update it by hand when the
+numbers move).
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 GALLERY_DIR = os.path.join("docs", "gallery")
+GALLERY_MD = os.path.join("docs", "gallery.md")
+
+DATA_NOTICE = """\
+> **⚠ Dataset: synthetic stand-in, NOT MNIST.** Every image below was
+> trained on the deterministic procedural seven-segment digit dataset
+> (`data/mnist.py::synthetic_mnist`) because this sandbox has no network
+> egress and no MNIST on disk. The loaders check `data/mnist.npz`, the
+> keras cache (`~/.keras/datasets/mnist.npz`), and torchvision IDX
+> layouts (`data/MNIST/raw/`) before falling back, so placing real MNIST
+> at any of those paths and rerunning `benchmarks/gallery.py`
+> regenerates everything on the real dataset with no code change.
+"""
+
+
+def _load_rows(path):
+    if not os.path.isfile(path):
+        return {}
+    with open(path) as f:
+        return {r["variant"]: r for r in json.load(f)["rows"]}
+
+
+def quality_section() -> str:
+    """The two-budget quality table, rendered from the sweep JSONs
+    (benchmarks/quality_sweep.py). Empty string if no results exist."""
+    rows20 = _load_rows(os.path.join("benchmarks", "quality_results.json"))
+    rows6 = _load_rows(os.path.join("benchmarks", "quality_results_6k.json"))
+    if not rows20:
+        return ""
+    label = {"fgan": "fgan (JS)", "REAL-DATA": "REAL-DATA (ceiling)"}
+    order = sorted(rows20, key=lambda v: (v != "REAL-DATA",
+                                          -rows20[v]["is_score"]))
+    lines = [
+        "## Quantitative sample quality (the reference had only visual "
+        "grids)",
+        "",
+        "Classifier-based IS-style scores at two training budgets (6k and",
+        "the gallery's 20k steps), 2048 samples per variant",
+        "(`python benchmarks/quality_sweep.py --steps N`; scorer:",
+        "`utils/quality.py`, a held-out MLP classifier on this dataset).",
+        "`confidence` = sharpness (mean max class prob), `class_entropy` =",
+        "diversity (ln 10 ≈ 2.303 is uniform), `is_score` =",
+        "exp(E[KL(p(y|x)‖p(y))]) with the zoo classifier standing in for",
+        "Inception. Mode collapse = high confidence + low entropy.",
+        "",
+        "| variant | IS @6k steps | IS @20k steps | confidence @20k "
+        "| class_entropy @20k |",
+        "|---|---|---|---|---|",
+    ]
+    for v in order:
+        r = rows20[v]
+        is6 = rows6.get(v, {}).get("is_score", "—")
+        lines.append(
+            f"| {label.get(v, v)} | {is6} | **{r['is_score']}** "
+            f"| {r['confidence']} | {r['class_entropy']} |"
+            if v in ("REAL-DATA", order[1]) else
+            f"| {label.get(v, v)} | {is6} | {r['is_score']} "
+            f"| {r['confidence']} | {r['class_entropy']} |")
+    lines += [
+        "",
+        "Regenerate either column:",
+        "`python benchmarks/quality_sweep.py --steps 20000` (the default",
+        "output file backs this table) or",
+        "`--steps 6000 --out benchmarks/quality_results_6k.json` (the 6k",
+        "column) — pass `--out` so budgets don't clobber each other.",
+        "",
+    ]
+    return "\n".join(lines)
+
+
+def _carried_analysis() -> str:
+    if not os.path.isfile(GALLERY_MD):
+        return ""
+    m = re.search(r"<!-- analysis -->.*?<!-- /analysis -->",
+                  open(GALLERY_MD).read(), re.S)
+    return (m.group(0) + "\n\n") if m else ""
+
+
+def write_gallery_md(steps: int, variants) -> None:
+    parts = ["# Gallery\n"]
+    q = quality_section()
+    if q:
+        parts.append(q)
+    parts.append(_carried_analysis())
+    parts.append(
+        f"Samples and loss curves after {steps} steps per variant "
+        "(batch 100, registry hyperparameters, one TPU v5lite chip). "
+        "Regenerate with `python benchmarks/gallery.py`.\n")
+    parts.append(DATA_NOTICE)
+    have_gifs = any(
+        os.path.isfile(os.path.join(GALLERY_DIR, f"{v}_train.gif"))
+        for v in variants)
+    head = "| variant | samples | losses |"
+    sep = "|---|---|---|"
+    if have_gifs:
+        head += " training progression |"
+        sep += "---|"
+    rows = [head, sep]
+    for v in sorted(variants):
+        row = (f"| {v} | ![{v}](gallery/{v}_samples.png) "
+               f"| ![{v} loss](gallery/{v}_loss.png) |")
+        if have_gifs:
+            gif = f"{v}_train.gif"
+            row += (f" ![{v} training](gallery/{gif}) |"
+                    if os.path.isfile(os.path.join(GALLERY_DIR, gif))
+                    else " — |")
+        rows.append(row)
+    parts.append("\n".join(rows) + "\n")
+    with open(GALLERY_MD, "w") as f:
+        f.write("\n".join(parts))
+    print(f"wrote {GALLERY_MD}")
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=6000)
+    ap.add_argument("--steps", type=int, default=20000)
     ap.add_argument("--variants", nargs="*", default=None)
+    ap.add_argument("--md-only", action="store_true",
+                    help="rewrite docs/gallery.md from existing "
+                         "artifacts without training")
     args = ap.parse_args()
 
-    from generative_models_tpu.config import variant_config
-    from generative_models_tpu.data.mnist import load_mnist
     from generative_models_tpu.losses.registry import available_variants
-    from generative_models_tpu.train.trainer import Trainer
-    from generative_models_tpu.utils.viz import plot_losses, save_image_grid
 
-    data = load_mnist(allow_synthetic=True, synthetic_sizes=(12000, 1000))
-    os.makedirs(GALLERY_DIR, exist_ok=True)
     variants = args.variants or available_variants()
-    rows = []
-    for variant in variants:
-        cfg = variant_config(variant, batch_size=100, scan_steps=1000, seed=0)
-        t = Trainer(config=cfg, data=data)
-        t.train(steps=args.steps)
-        grid = save_image_grid(
-            os.path.join(GALLERY_DIR, f"{variant}_samples.png"),
-            t.sample(64))
-        curve = plot_losses(
-            os.path.join(GALLERY_DIR, f"{variant}_loss.png"), t.history)
-        rows.append((variant, os.path.basename(grid),
-                     os.path.basename(curve)))
-        print(f"{variant}: {grid}", flush=True)
 
-    with open(os.path.join("docs", "gallery.md"), "w") as f:
-        f.write("# Gallery\n\nSamples and loss curves after "
-                f"{args.steps} steps per variant (batch 100, registry "
-                "hyperparameters, one TPU v5lite chip). Regenerate with "
-                "`python benchmarks/gallery.py`.\n\n")
-        f.write("| variant | samples | losses |\n|---|---|---|\n")
-        for v, g, c in rows:
-            f.write(f"| {v} | ![{v}](gallery/{g}) | "
-                    f"![{v} loss](gallery/{c}) |\n")
-    print("wrote docs/gallery.md")
+    if not args.md_only:
+        from generative_models_tpu.config import variant_config
+        from generative_models_tpu.data.mnist import load_mnist
+        from generative_models_tpu.train.trainer import Trainer
+        from generative_models_tpu.utils.viz import (
+            plot_losses, save_image_grid,
+        )
+
+        data = load_mnist(allow_synthetic=True,
+                          synthetic_sizes=(12000, 1000))
+        os.makedirs(GALLERY_DIR, exist_ok=True)
+        for variant in variants:
+            cfg = variant_config(variant, batch_size=100,
+                                 scan_steps=1000, seed=0)
+            t = Trainer(config=cfg, data=data)
+            t.train(steps=args.steps)
+            grid = save_image_grid(
+                os.path.join(GALLERY_DIR, f"{variant}_samples.png"),
+                t.sample(64))
+            plot_losses(
+                os.path.join(GALLERY_DIR, f"{variant}_loss.png"),
+                t.history)
+            print(f"{variant}: {grid}", flush=True)
+
+    write_gallery_md(args.steps, available_variants()
+                     if args.variants else variants)
 
 
 if __name__ == "__main__":
