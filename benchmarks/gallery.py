@@ -27,6 +27,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 GALLERY_DIR = os.path.join("docs", "gallery")
 GALLERY_MD = os.path.join("docs", "gallery.md")
+# provenance sidecar: which step budget the committed artifacts were
+# actually trained for, so --md-only never stamps the page with a
+# step count the images don't match
+META_PATH = os.path.join(GALLERY_DIR, "_meta.json")
 
 DATA_NOTICE = """\
 > **⚠ Dataset: synthetic stand-in, NOT MNIST.** Every image below was
@@ -57,6 +61,10 @@ def quality_section() -> str:
     label = {"fgan": "fgan (JS)", "REAL-DATA": "REAL-DATA (ceiling)"}
     order = sorted(rows20, key=lambda v: (v != "REAL-DATA",
                                           -rows20[v]["is_score"]))
+    # bold the ceiling and the best variant (guard: either may be absent
+    # in a trimmed/hand-edited results file)
+    bold = {v for v in order[:1] if v == "REAL-DATA"}
+    bold |= set([v for v in order if v != "REAL-DATA"][:1])
     lines = [
         "## Quantitative sample quality (the reference had only visual "
         "grids)",
@@ -77,11 +85,9 @@ def quality_section() -> str:
     for v in order:
         r = rows20[v]
         is6 = rows6.get(v, {}).get("is_score", "—")
+        score = f"**{r['is_score']}**" if v in bold else f"{r['is_score']}"
         lines.append(
-            f"| {label.get(v, v)} | {is6} | **{r['is_score']}** "
-            f"| {r['confidence']} | {r['class_entropy']} |"
-            if v in ("REAL-DATA", order[1]) else
-            f"| {label.get(v, v)} | {is6} | {r['is_score']} "
+            f"| {label.get(v, v)} | {is6} | {score} "
             f"| {r['confidence']} | {r['class_entropy']} |")
     lines += [
         "",
@@ -124,14 +130,24 @@ def write_gallery_md(steps: int, variants) -> None:
         sep += "---|"
     rows = [head, sep]
     for v in sorted(variants):
-        row = (f"| {v} | ![{v}](gallery/{v}_samples.png) "
-               f"| ![{v} loss](gallery/{v}_loss.png) |")
+        # a variant with no sample grid yet (newly registered, or a
+        # partial --variants run) gets no row at all — never a broken
+        # image link on the published page
+        if not os.path.isfile(
+                os.path.join(GALLERY_DIR, f"{v}_samples.png")):
+            continue
+        cells = [f"![{v}](gallery/{v}_samples.png)"]
+        cells.append(
+            f"![{v} loss](gallery/{v}_loss.png)"
+            if os.path.isfile(os.path.join(GALLERY_DIR, f"{v}_loss.png"))
+            else "—")
         if have_gifs:
             gif = f"{v}_train.gif"
-            row += (f" ![{v} training](gallery/{gif}) |"
-                    if os.path.isfile(os.path.join(GALLERY_DIR, gif))
-                    else " — |")
-        rows.append(row)
+            cells.append(
+                f"![{v} training](gallery/{gif})"
+                if os.path.isfile(os.path.join(GALLERY_DIR, gif))
+                else "—")
+        rows.append(f"| {v} | " + " | ".join(cells) + " |")
     parts.append("\n".join(rows) + "\n")
     with open(GALLERY_MD, "w") as f:
         f.write("\n".join(parts))
@@ -150,8 +166,14 @@ def main():
     from generative_models_tpu.losses.registry import available_variants
 
     variants = args.variants or available_variants()
+    md_steps = args.steps
 
-    if not args.md_only:
+    if args.md_only:
+        # the artifacts on disk set the step count, not the CLI default
+        if os.path.isfile(META_PATH):
+            with open(META_PATH) as f:
+                md_steps = json.load(f)["steps"]
+    else:
         from generative_models_tpu.config import variant_config
         from generative_models_tpu.data.mnist import load_mnist
         from generative_models_tpu.train.trainer import Trainer
@@ -174,9 +196,13 @@ def main():
                 os.path.join(GALLERY_DIR, f"{variant}_loss.png"),
                 t.history)
             print(f"{variant}: {grid}", flush=True)
+        if not args.variants:  # a full run defines the page's provenance
+            with open(META_PATH, "w") as f:
+                json.dump({"steps": args.steps}, f)
 
-    write_gallery_md(args.steps, available_variants()
-                     if args.variants else variants)
+    # the page always lists every registered variant; rows without
+    # artifacts on disk are skipped inside write_gallery_md
+    write_gallery_md(md_steps, available_variants())
 
 
 if __name__ == "__main__":

@@ -142,7 +142,10 @@ def main(argv=None) -> int:
             score_samples,
             train_classifier,
         )
-        clf = train_classifier(t.x_train, t.y_train)
+        # train_split_f32 decodes uint8-resident storage; feeding raw
+        # t.x_train would train the classifier at 255x model scale
+        xs, ys = t.train_split_f32()
+        clf = train_classifier(xs, ys)
         acc = classifier_accuracy(clf, t.x_test, t.y_test)
         scores = score_samples(clf, t.sample(1024))
         print(json.dumps({"classifier_test_acc": round(acc, 4),

@@ -233,9 +233,15 @@ def to_flat_float(data: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     for k, v in data.items():
         v = np.asarray(v)
         if k.startswith("x"):
-            x = v.astype(np.float32)
-            if v.dtype == np.uint8 or x.max() > 1.0:
-                x = x * INV_255
+            # scale by DTYPE, not by value range: a max()>1 heuristic
+            # would silently rescale float data that merely contains a
+            # few out-of-range pixels, and could treat splits of the
+            # same dict inconsistently. Integer pixels are 0-255;
+            # float inputs are taken as already in model scale.
+            if np.issubdtype(v.dtype, np.integer):
+                x = v.astype(np.float32) * INV_255
+            else:
+                x = v.astype(np.float32)
             out[k] = x.reshape(x.shape[0], -1)
         else:
             out[k] = v.astype(np.int32)

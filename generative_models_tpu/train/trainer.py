@@ -89,6 +89,7 @@ class Trainer:
         # test iterators, SURVEY §2.1): explicit x_val wins; otherwise
         # cfg.val_size rows are carved deterministically off the end of
         # train, BEFORE any shuffling, so the carve is seed-independent.
+        keep = slice(None)  # train rows kept after the val carve
         if "x_val" in arrs:
             self.x_val, self.y_val = arrs["x_val"], arrs["y_val"]
         elif self.cfg.val_size > 0:
@@ -97,25 +98,23 @@ class Trainer:
                 raise ValueError(
                     f"val_size={v} >= train rows {x_tr.shape[0]}")
             self.x_val, self.y_val = x_tr[-v:], y_tr[-v:]
-            x_tr, y_tr = x_tr[:-v], y_tr[:-v]
+            keep = slice(None, -v)
         else:
             self.x_val = self.y_val = None
         if self.cfg.data_storage == "uint8":
             # keep the RAW bytes resident; the step decodes post-gather
             # (train/step.py::decode_images — bit-identical math, 4x
-            # less HBM gather traffic)
+            # less HBM gather traffic). The SAME keep-slice as the
+            # float path, so both storages see identical rows.
             rx = np.asarray(raw["x_train"])
             if rx.dtype != np.uint8:
                 raise ValueError(
                     "data_storage='uint8' requires uint8 source images; "
                     f"got {rx.dtype}")
-            rx = rx.reshape(rx.shape[0], -1)
-            if self.x_val is not None and "x_val" not in arrs:
-                rx = rx[:-self.cfg.val_size]  # mirror the val carve
-            self.x_train = jnp.asarray(rx)
+            self.x_train = jnp.asarray(rx.reshape(rx.shape[0], -1)[keep])
         else:
-            self.x_train = jnp.asarray(x_tr)
-        self.y_train = jnp.asarray(y_tr)
+            self.x_train = jnp.asarray(x_tr[keep])
+        self.y_train = jnp.asarray(y_tr[keep])
 
         self._build()
 
@@ -361,17 +360,19 @@ class Trainer:
                     "explicit x_val/y_val data")
             xs, ys = self.x_val, self.y_val
         elif split == "train":
-            xs, ys = np.asarray(self.x_train), np.asarray(self.y_train)
-            if xs.dtype == np.uint8:  # uint8-resident storage
-                from generative_models_tpu.data.mnist import INV_255
-                xs = xs.astype(np.float32) * INV_255
+            xs, ys = self.x_train, self.y_train
         else:
             raise ValueError(f"unknown split {split!r}")
-        nb = len(xs) // cfg.batch_size
+        nb = xs.shape[0] // cfg.batch_size
         if max_batches:
             nb = min(nb, max_batches)
         if nb < 1:
             raise ValueError("split smaller than one batch")
+        # materialize (and, for uint8-resident storage, decode) only the
+        # rows this evaluation actually uses
+        rows = nb * cfg.batch_size
+        xs, ys = self._decode_host(np.asarray(xs[:rows])), \
+            np.asarray(ys[:rows])
 
         if not hasattr(self, "_eval_fn"):
             spec = self.spec
@@ -404,10 +405,24 @@ class Trainer:
 
         self._sample_rng, key = jax.random.split(self._sample_rng)
         out = self._eval_fn(
-            self.state,
-            jnp.asarray(xs[:nb * cfg.batch_size]),
-            jnp.asarray(ys[:nb * cfg.batch_size]), key)
+            self.state, jnp.asarray(xs), jnp.asarray(ys), key)
         return {k: float(v) for k, v in jax.device_get(out).items()}
+
+    @staticmethod
+    def _decode_host(xs: np.ndarray) -> np.ndarray:
+        """Host-side twin of train/step.py::decode_images (same INV_255
+        multiply) for uint8-resident storage; no-op on float arrays."""
+        if xs.dtype == np.uint8:
+            from generative_models_tpu.data.mnist import INV_255
+            return xs.astype(np.float32) * INV_255
+        return xs
+
+    def train_split_f32(self):
+        """The resident train split as host float32 arrays (decoded if
+        uint8-resident) — for consumers like the sample-quality
+        classifier that need model-scale pixels."""
+        return (self._decode_host(np.asarray(self.x_train)),
+                np.asarray(self.y_train))
 
     # --------------------------------------------------------------
     @property
