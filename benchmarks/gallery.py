@@ -76,18 +76,21 @@ def quality_section() -> str:
         "`confidence` = sharpness (mean max class prob), `class_entropy` =",
         "diversity (ln 10 ≈ 2.303 is uniform), `is_score` =",
         "exp(E[KL(p(y|x)‖p(y))]) with the zoo classifier standing in for",
-        "Inception. Mode collapse = high confidence + low entropy.",
+        "Inception. `FID` = Fréchet distance in the same classifier's",
+        "hidden feature space vs the real test split (lower is better;",
+        "the REAL-DATA row shows the train-vs-test floor of the metric).",
+        "Mode collapse = high confidence + low entropy.",
         "",
-        "| variant | IS @6k steps | IS @20k steps | confidence @20k "
-        "| class_entropy @20k |",
-        "|---|---|---|---|---|",
+        "| variant | IS @6k steps | IS @20k steps | FID @20k "
+        "| confidence @20k | class_entropy @20k |",
+        "|---|---|---|---|---|---|",
     ]
     for v in order:
         r = rows20[v]
         is6 = rows6.get(v, {}).get("is_score", "—")
         score = f"**{r['is_score']}**" if v in bold else f"{r['is_score']}"
         lines.append(
-            f"| {label.get(v, v)} | {is6} | {score} "
+            f"| {label.get(v, v)} | {is6} | {score} | {r.get('fid', '—')} "
             f"| {r['confidence']} | {r['class_entropy']} |")
     lines += [
         "",

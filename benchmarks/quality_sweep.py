@@ -36,6 +36,7 @@ def main():
     from generative_models_tpu.train.trainer import Trainer
     from generative_models_tpu.utils.quality import (
         classifier_accuracy,
+        fid_score,
         score_samples,
         train_classifier,
     )
@@ -46,7 +47,12 @@ def main():
     acc = classifier_accuracy(clf, flat["x_test"], flat["y_test"])
     print(json.dumps({"classifier_test_acc": round(acc, 4)}), flush=True)
 
-    real_scores = score_samples(clf, flat["x_test"][:args.n])
+    # FID reference statistics: the test split; REAL-DATA's own FID is
+    # train-vs-test (the irreducible floor of the metric on this data)
+    real_ref = flat["x_test"][:args.n]
+    real_scores = score_samples(clf, real_ref)
+    real_scores["fid"] = fid_score(clf, real_ref,
+                                   flat["x_train"][:args.n])
     results = [{"variant": "REAL-DATA",
                 **{k: round(v, 4) for k, v in real_scores.items()}}]
     print(json.dumps(results[0]), flush=True)
@@ -55,7 +61,9 @@ def main():
         cfg = variant_config(variant, scan_steps=args.scan, seed=0)
         t = Trainer(config=cfg, data=raw)
         t.train(steps=args.steps)
-        scores = score_samples(clf, t.sample(args.n))
+        samples = t.sample(args.n)
+        scores = score_samples(clf, samples)
+        scores["fid"] = fid_score(clf, real_ref, samples)
         row = {"variant": variant, "steps": args.steps,
                **{k: round(v, 4) for k, v in scores.items()}}
         results.append(row)
@@ -67,11 +75,12 @@ def main():
         json.dump({"classifier_test_acc": round(acc, 4),
                    "n_samples": args.n, "rows": results}, f, indent=1)
 
-    print("\n| variant | confidence | class_entropy | IS (10-way) |")
-    print("|---|---|---|---|")
+    print("\n| variant | confidence | class_entropy | IS (10-way) | FID |")
+    print("|---|---|---|---|---|")
     for r in results:
         print(f"| {r['variant']} | {r['confidence']} "
-              f"| {r['class_entropy']} | {r['is_score']} |")
+              f"| {r['class_entropy']} | {r['is_score']} "
+              f"| {r.get('fid', '—')} |")
 
 
 if __name__ == "__main__":

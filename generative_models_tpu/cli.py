@@ -139,6 +139,7 @@ def main(argv=None) -> int:
     if args.score_samples:
         from generative_models_tpu.utils.quality import (
             classifier_accuracy,
+            fid_score,
             score_samples,
             train_classifier,
         )
@@ -147,7 +148,9 @@ def main(argv=None) -> int:
         xs, ys = t.train_split_f32()
         clf = train_classifier(xs, ys)
         acc = classifier_accuracy(clf, t.x_test, t.y_test)
-        scores = score_samples(clf, t.sample(1024))
+        samples = t.sample(1024)
+        scores = score_samples(clf, samples)
+        scores["fid"] = fid_score(clf, t.x_test[:1024], samples)
         print(json.dumps({"classifier_test_acc": round(acc, 4),
                           **{k: round(v, 4) for k, v in scores.items()}}))
     # checkpoint FIRST: an export failure must never cost the run

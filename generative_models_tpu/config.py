@@ -66,6 +66,14 @@ class Config:
     d_steps: int = 1               # critic steps per generator step
 
     # --- variant-specific mechanisms (paper-pinned unless noted) --------
+    # Exponential moving average of the generator/model weights,
+    # updated once per train step in-trace and used for sampling,
+    # export, and quality scoring when enabled (0 = off, the
+    # reference-parity default; 0.999 is the common GAN setting —
+    # Yazıcı & al. 2019 "The Unusual Effectiveness of Averaging in GAN
+    # Training"). Training math is untouched: the EMA never feeds back
+    # into gradients.
+    ema_decay: float = 0.0
     wgan_clip: float = 0.01        # Arjovsky 2017: clip critic to ±0.01
     gp_lambda: float = 10.0        # Gulrajani 2017 / Kodali 2017: λ = 10
     dragan_noise_scale: float = 0.5  # TO-VERIFY: x̂ = x + 0.5·std(x)·U(0,1)
@@ -150,6 +158,9 @@ class Config:
             raise ValueError(f"optimizer must be adam|rmsprop, got {self.optimizer!r}")
         if self.vae_recon not in ("bce", "mse"):
             raise ValueError(f"vae_recon must be bce|mse, got {self.vae_recon!r}")
+        if not 0.0 <= self.ema_decay < 1.0:
+            raise ValueError(
+                f"ema_decay must be in [0, 1), got {self.ema_decay}")
         if self.data_storage not in ("float32", "uint8"):
             raise ValueError(
                 f"data_storage must be float32|uint8, got "

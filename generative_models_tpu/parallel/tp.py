@@ -132,7 +132,7 @@ def state_pspecs(spec, cfg: Config, state) -> Any:
     if spec.adversarial:
         g_ps = params_pspecs(state["g_params"], cfg.tp)
         d_ps = params_pspecs(state["d_params"], cfg.tp)
-        return {
+        out = {
             "g_params": g_ps,
             "d_params": d_ps,
             "g_opt": _opt_pspecs(make_tx(cfg, cfg.g_lr), state["g_opt"], g_ps),
@@ -141,13 +141,19 @@ def state_pspecs(spec, cfg: Config, state) -> Any:
             "step": rep,
             "rng": rep,
         }
+        if "g_ema" in state:  # EMA weights shard exactly like g_params
+            out["g_ema"] = g_ps
+        return out
     ps = params_pspecs(state["params"], cfg.tp)
-    return {
+    out = {
         "params": ps,
         "opt": _opt_pspecs(make_tx(cfg, cfg.g_lr), state["opt"], ps),
         "step": rep,
         "rng": rep,
     }
+    if "ema" in state:
+        out["ema"] = ps
+    return out
 
 
 def to_shardings(pspec_tree, mesh: Mesh):

@@ -43,7 +43,7 @@ def init_adversarial_state(spec: AdversarialSpec, cfg: Config, rng) -> State:
     d_params = spec.init_d(d_rng, cfg)
     g_tx = make_tx(cfg, cfg.g_lr)
     d_tx = make_tx(cfg, cfg.d_lr)
-    return {
+    st = {
         "g_params": g_params,
         "d_params": d_params,
         "g_opt": g_tx.init(g_params),
@@ -52,18 +52,24 @@ def init_adversarial_state(spec: AdversarialSpec, cfg: Config, rng) -> State:
         "step": jnp.zeros((), jnp.int32),
         "rng": state_rng,
     }
+    if cfg.ema_decay > 0:
+        st["g_ema"] = g_params  # EMA starts at the init point
+    return st
 
 
 def init_single_state(spec: SingleModelSpec, cfg: Config, rng) -> State:
     p_rng, state_rng = jax.random.split(rng)
     params = spec.init_params(p_rng, cfg)
     tx = make_tx(cfg, cfg.g_lr)
-    return {
+    st = {
         "params": params,
         "opt": tx.init(params),
         "step": jnp.zeros((), jnp.int32),
         "rng": state_rng,
     }
+    if cfg.ema_decay > 0:
+        st["ema"] = params
+    return st
 
 
 def init_state(spec, cfg: Config, rng) -> State:
@@ -170,6 +176,9 @@ def build_adversarial_step(spec: AdversarialSpec, cfg: Config,
             "step": state["step"] + 1,
             "rng": rng,
         }
+        if cfg.ema_decay > 0:  # static: traced once per config
+            new_state["g_ema"] = _ema_update(
+                state["g_ema"], new_g_params, cfg.ema_decay)
         metrics = {**d_metrics, **g_metrics}
         for k, v in vstate.items():
             metrics[f"vstate_{k}"] = v
@@ -204,9 +213,19 @@ def build_single_step(spec: SingleModelSpec, cfg: Config,
             "step": state["step"] + 1,
             "rng": rng,
         }
+        if cfg.ema_decay > 0:
+            new_state["ema"] = _ema_update(state["ema"], params,
+                                           cfg.ema_decay)
         return new_state, metrics
 
     return train_step
+
+
+def _ema_update(ema, params, decay: float):
+    """ema <- decay*ema + (1-decay)*params, leafwise. One fused
+    elementwise pass; never feeds back into gradients."""
+    d = jnp.float32(decay)
+    return jax.tree.map(lambda e, p: e * d + p * (1.0 - d), ema, params)
 
 
 def build_step(spec, cfg: Config, axis_name: str | None = None):

@@ -429,7 +429,17 @@ class Trainer:
     def generator_params(self):
         """The sampling-side params (generator for adversarial
         variants, the full model for VAE-family) — single source for
-        sample(), export, and tests."""
+        sample(), export, and tests. With Config.ema_decay > 0 this is
+        the EMA of the weights (the standard GAN sampling practice);
+        `raw_generator_params` bypasses it."""
+        key = "g_params" if self.spec.adversarial else "params"
+        if self.cfg.ema_decay > 0:
+            key = "g_ema" if self.spec.adversarial else "ema"
+        return self.state[key]
+
+    @property
+    def raw_generator_params(self):
+        """The live (non-EMA) sampling-side params."""
         return (self.state["g_params"] if self.spec.adversarial
                 else self.state["params"])
 

@@ -12,6 +12,12 @@ scored with Inception-Score-style statistics under that classifier:
   zoo classifier standing in for Inception.
 
 Mode collapse shows up as high confidence + low class_entropy.
+
+`fid_score` complements them with a Fréchet distance in the same
+classifier's hidden feature space (FID with the zoo classifier
+standing in for Inception) — unlike the IS-style score it compares
+against REAL data statistics, so it also catches distribution drift
+that keeps class balance.
 """
 
 from __future__ import annotations
@@ -20,6 +26,7 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from generative_models_tpu.models.mlp import mlp_apply_xla, mlp_init
@@ -63,6 +70,42 @@ def classifier_accuracy(params, x, y) -> float:
     logits = mlp_apply_xla(params, jnp.asarray(x), hidden_act="relu",
                            out_act="none")
     return float(jnp.mean(jnp.argmax(logits, -1) == jnp.asarray(y)))
+
+
+def _features(params, x):
+    """Penultimate-layer (hidden) activations of the zoo classifier —
+    the feature space for the FID-style metric."""
+    return mlp_apply_xla(params[:-1], jnp.asarray(x), hidden_act="relu",
+                         out_act="relu")
+
+
+def fid_score(params, real, fake, eps: float = 1e-6) -> float:
+    """Fréchet distance between real and generated samples in the zoo
+    classifier's hidden feature space — the FID formula (Heusel 2017)
+    with the held-out MLP standing in for Inception, like `is_score`
+    stands in for IS:
+
+        ||mu_r - mu_f||^2 + tr(C_r + C_f - 2 (C_r C_f)^{1/2})
+
+    The matrix square root is computed on the symmetrized product via
+    eigendecomposition (the features live in a ~128-dim space, so this
+    is exact and cheap; negative eigenvalues from fp noise are
+    clamped). Lower is better; 0 = matched feature statistics.
+    """
+    fr = np.asarray(_features(params, real), dtype=np.float64)
+    ff = np.asarray(_features(params, fake), dtype=np.float64)
+    mu_r, mu_f = fr.mean(0), ff.mean(0)
+    c_r = np.cov(fr, rowvar=False) + eps * np.eye(fr.shape[1])
+    c_f = np.cov(ff, rowvar=False) + eps * np.eye(ff.shape[1])
+    # tr((C_r C_f)^{1/2}) via the symmetric form:
+    #   (C_r C_f)^{1/2} similar to  C_r^{1/2} C_f C_r^{1/2}  (PSD)
+    w_r, v_r = np.linalg.eigh(c_r)
+    sq_r = (v_r * np.sqrt(np.clip(w_r, 0, None))) @ v_r.T
+    w = np.linalg.eigvalsh(sq_r @ c_f @ sq_r)
+    tr_sqrt = np.sum(np.sqrt(np.clip(w, 0, None)))
+    d2 = float(np.sum((mu_r - mu_f) ** 2)
+               + np.trace(c_r) + np.trace(c_f) - 2.0 * tr_sqrt)
+    return max(d2, 0.0)
 
 
 def score_samples(params, samples) -> Dict[str, float]:

@@ -7,6 +7,7 @@ import numpy as np
 from generative_models_tpu.data.mnist import synthetic_mnist, to_flat_float
 from generative_models_tpu.utils.quality import (
     classifier_accuracy,
+    fid_score,
     score_samples,
     train_classifier,
 )
@@ -32,3 +33,22 @@ def test_classifier_and_scores():
     noise = rng.random((400, 784), dtype=np.float32)
     noisy = score_samples(clf, noise)
     assert noisy["confidence"] < real["confidence"]
+
+
+def test_fid_orders_distributions():
+    """FID in classifier feature space: real-vs-real ~0, and both
+    collapse and noise score far worse."""
+    arrs = to_flat_float(synthetic_mnist(2000, 800, seed=0))
+    clf = train_classifier(arrs["x_train"], arrs["y_train"], steps=300)
+    half_a, half_b = arrs["x_test"][:400], arrs["x_test"][400:]
+    f_self = fid_score(clf, half_a, half_b)
+    collapsed = np.tile(arrs["x_test"][:1], (400, 1))
+    f_col = fid_score(clf, half_a, collapsed)
+    rng = np.random.default_rng(0)
+    noise = rng.random((400, 784), dtype=np.float32)
+    f_noise = fid_score(clf, half_a, noise)
+    assert f_self >= 0.0
+    assert f_col > 5 * f_self
+    assert f_noise > 5 * f_self
+    # exact self-comparison is (near) zero
+    assert fid_score(clf, half_a, half_a) < 1e-6

@@ -193,3 +193,22 @@ def test_model_mesh_with_tp1_raises(tiny_data):
     with pytest.raises(ValueError, match="axis size 4"):
         Trainer(config=tiny_cfg("nsgan", use_pallas=False),
                 data=tiny_data, mesh=mesh)
+
+
+def test_tp_with_ema_shards_and_trains(tiny_data):
+    """EMA weights shard exactly like g_params under TP and the TP run
+    still trains (the EMA update is pure elementwise, partitioned by
+    the same SPMD rules)."""
+    from generative_models_tpu.losses.registry import get_variant
+    from generative_models_tpu.parallel.tp import state_pspecs
+
+    cfg = tiny_cfg("nsgan", tp=4, dp=2, ema_decay=0.9)
+    spec = get_variant("nsgan")
+    mesh = _cpu_mesh(2, 4)
+    t = Trainer(config=cfg, data=tiny_data, mesh=mesh)
+    ps = state_pspecs(spec, cfg, t.state)
+    assert ps["g_ema"] == ps["g_params"]
+    t.train(steps=4, sample_every=-1)
+    assert "g_ema" in t.state
+    imgs = t.sample(4)  # sampling comes from the (sharded) EMA
+    assert np.isfinite(imgs).all()

@@ -141,3 +141,61 @@ def test_cli_sample_only_roundtrip(tmp_path):
     # without a checkpoint it refuses cleanly
     assert main(common + ["--sample-only",
                           "--ckpt", str(tmp_path / "nope.npz")]) == 2
+
+
+# ------------------------------------------------------------------
+# Generator EMA (Config.ema_decay)
+# ------------------------------------------------------------------
+
+def test_ema_tracks_param_trajectory(tiny_data):
+    """g_ema must equal the host-recomputed EMA of the post-update
+    params at every step (scan_steps=1 exposes each step's params)."""
+    d = 0.5
+    t = Trainer(config=tiny_cfg("nsgan", ema_decay=d, scan_steps=1),
+                data=tiny_data)
+    expect = jax.tree.map(lambda a: np.asarray(a, np.float64),
+                          t.state["g_ema"])
+    for _ in range(4):
+        t.train(steps=1, sample_every=-1)
+        raw = jax.tree.map(np.asarray, t.state["g_params"])
+        expect = jax.tree.map(lambda e, p: e * d + p * (1 - d),
+                              expect, raw)
+        got = jax.tree.map(np.asarray, t.state["g_ema"])
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(
+            a, b, rtol=1e-6, atol=1e-7), got, expect)
+    # EMA lags the raw params (they differ after updates)
+    assert not np.allclose(
+        np.asarray(t.state["g_ema"][0]["w"]),
+        np.asarray(t.state["g_params"][0]["w"]))
+
+
+def test_ema_is_sampling_source_and_checkpoints(tiny_data, tmp_path):
+    t = Trainer(config=tiny_cfg("vae", ema_decay=0.9), data=tiny_data)
+    t.train(steps=6, sample_every=-1)
+    assert t.generator_params is t.state["ema"]
+    assert t.raw_generator_params is t.state["params"]
+    imgs = t.sample(4)
+    assert imgs.shape[0] == 4 and np.isfinite(imgs).all()
+    path = str(tmp_path / "ema.ckpt")
+    t.save_model(path)
+    t2 = Trainer(config=t.cfg, data=tiny_data)
+    t2.load_model(path)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), t.state["ema"], t2.state["ema"])
+
+
+def test_ema_off_keeps_reference_state_layout(tiny_data):
+    t = Trainer(config=tiny_cfg("nsgan"), data=tiny_data)
+    assert "g_ema" not in t.state  # decay=0: exact round-2 layout
+    assert t.generator_params is t.state["g_params"]
+
+
+def test_ema_training_math_unchanged(tiny_data):
+    """The EMA never feeds back: raw params with and without EMA are
+    bit-identical."""
+    outs = []
+    for d in (0.0, 0.99):
+        t = Trainer(config=tiny_cfg("nsgan", ema_decay=d), data=tiny_data)
+        t.train(steps=6, sample_every=-1)
+        outs.append(jax.tree.map(np.asarray, t.state["g_params"]))
+    jax.tree.map(np.testing.assert_array_equal, outs[0], outs[1])
