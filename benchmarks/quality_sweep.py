@@ -71,6 +71,14 @@ def main():
 
     out = args.out or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "quality_results.json")
+    if args.variants and os.path.isfile(out):
+        # partial sweep: merge into the existing file by variant name
+        # instead of clobbering the variants that didn't run
+        with open(out) as f:
+            old = {r["variant"]: r for r in json.load(f)["rows"]}
+        old.update({r["variant"]: r for r in results})
+        results = sorted(old.values(), key=lambda r: (
+            r["variant"] != "REAL-DATA", r["variant"]))
     with open(out, "w") as f:
         json.dump({"classifier_test_acc": round(acc, 4),
                    "n_samples": args.n, "rows": results}, f, indent=1)

@@ -85,6 +85,13 @@ class Config:
     info_cat_dim: int = 10         # InfoGAN categorical code size
     info_cont_dim: int = 2         # TO-VERIFY (presence of continuous codes)
     info_lambda: float = 1.0       # Chen 2016 MI weight
+    # Continuous-code posterior variance: fixed unit variance (NLL =
+    # ½(c-μ)², the common public-implementation choice) vs the learned
+    # log-variance head. Learned variance is the MEASURED destabilizer
+    # of this variant on the MLP stack (exp(-logvar) gradient blowup:
+    # collapsed IS ~1.0 vs ~5 with it fixed — ablation in
+    # docs/variants/infogan.md); both paths are kept.
+    info_cont_fixed_var: bool = True
     fgan_divergence: str = "jensen_shannon"  # pluggable (see losses/fgan.py)
     birvae_bits: float = 12.0      # BIRVAE target information rate I (bits) TO-VERIFY
     vae_recon: str = "bce"         # "bce" (Bernoulli decoder) | "mse"
@@ -190,7 +197,12 @@ VARIANT_OVERRIDES: Dict[str, Dict[str, Any]] = {
     "lsgan": {},
     "cgan": {},
     "ragan": {},
-    "infogan": {},
+    # InfoGAN paper (Chen 2016) MNIST setup: Adam with the DCGAN
+    # β1=0.5, G lr 1e-3, D lr 2e-4. Measured ablation (6k steps,
+    # docs/variants/infogan.md): these + the fixed-variance continuous
+    # NLL take the variant from full mode collapse (IS 1.0, FID 171)
+    # to IS 4.9 / FID 18.
+    "infogan": {"adam_b1": 0.5, "g_lr": 1e-3},
     "fgan": {},
     "began": {"began_gamma": 0.75},
     # WGAN paper (Arjovsky 2017): RMSprop 5e-5, 5 critic steps.

@@ -38,8 +38,16 @@ def _mi_lower_bound(d_params, fake, cat, cont, cfg):
     ce = -jnp.mean(jnp.take_along_axis(
         jax.nn.log_softmax(q_cat, axis=-1), cat[:, None], axis=1))
     if cfg.info_cont_dim > 0:
-        nll = jnp.mean(0.5 * (q_logvar + (cont - q_mu) ** 2
-                              / jnp.exp(q_logvar)))
+        if cfg.info_cont_fixed_var:
+            # fixed unit variance: NLL ∝ ½(c − μ)². The common public
+            # implementation choice — the learned-variance head's
+            # exp(-logvar) factor is the measured destabilizer of this
+            # variant (IS 1.0 collapsed vs 4.9+ stable; see
+            # docs/variants/infogan.md "stability ablation")
+            nll = jnp.mean(0.5 * (cont - q_mu) ** 2)
+        else:
+            nll = jnp.mean(0.5 * (q_logvar + (cont - q_mu) ** 2
+                                  / jnp.exp(q_logvar)))
     else:
         nll = 0.0
     return ce + nll

@@ -161,11 +161,13 @@ def test_fishergan_lagrangian_parity(fixtures):
     assert_tree_close(g_grads_j, torch_grads_as_jaxtree(G))
 
 
-def test_infogan_mi_bound_parity(fixtures, monkeypatch):
+@pytest.mark.parametrize("fixed_var", [False, True])
+def test_infogan_mi_bound_parity(fixtures, monkeypatch, fixed_var):
     _, _, z, x = fixtures
     CAT, CONT = 10, 2
     cfg = variant_config("infogan", z_dim=ZD, hidden_dim=H, batch_size=B,
-                         info_cat_dim=CAT, info_cont_dim=CONT)
+                         info_cat_dim=CAT, info_cont_dim=CONT,
+                         info_cont_fixed_var=fixed_var)
     rng = np.random.default_rng(6)
     g_ws = (*np_linear(rng, ZD + CAT + CONT, H), *np_linear(rng, H, XD))
     trunk_w = np_linear(rng, XD, H)
@@ -210,9 +212,12 @@ def test_infogan_mi_bound_parity(fixtures, monkeypatch):
     def mi(fake):
         q = q_head(trunk(fake))
         q_mu, q_lv = q[:, CAT:CAT + CONT], q[:, CAT + CONT:]
-        # same NLL form as losses/infogan.py (1/2 log 2pi constant
+        # same NLL forms as losses/infogan.py (1/2 log 2pi constant
         # dropped on both sides — parameter-independent)
-        nll = (0.5 * (q_lv + (cont_t - q_mu) ** 2 / q_lv.exp())).mean()
+        if fixed_var:
+            nll = (0.5 * (cont_t - q_mu) ** 2).mean()
+        else:
+            nll = (0.5 * (q_lv + (cont_t - q_mu) ** 2 / q_lv.exp())).mean()
         return ce(q[:, :CAT], cat_t) + nll
 
     fake = G(zc).detach()
