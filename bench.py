@@ -39,6 +39,10 @@ def bench_jax(data):
     cfg = variant_config(
         "nsgan", batch_size=BATCH, hidden_dim=HIDDEN, z_dim=Z_DIM,
         scan_steps=SCAN, seed=0,
+        # match the torch replica's Adam defaults exactly (the registry
+        # ships the measured-quality beta1=0.5; betas are numerically
+        # irrelevant to throughput but the configs should be identical)
+        adam_b1=0.9,
         # Each side uses its platform's standard fast RNG: torch keeps
         # its native generator below; the JAX side uses the TPU
         # hardware-RNG path (XLA RngBitGenerator) — noise draws are
