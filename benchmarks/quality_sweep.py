@@ -23,6 +23,9 @@ def main():
     ap.add_argument("--scan", type=int, default=1000)
     ap.add_argument("--n", type=int, default=2048)
     ap.add_argument("--variants", nargs="*", default=None)
+    ap.add_argument("--arch", default="mlp", choices=("mlp", "conv"),
+                    help="architecture to sweep; conv writes to "
+                         "quality_results_conv.json by default")
     ap.add_argument("--out", default=None,
                     help="output JSON path (default "
                          "quality_results.json next to this script); "
@@ -58,19 +61,23 @@ def main():
     print(json.dumps(results[0]), flush=True)
 
     for variant in (args.variants or available_variants()):
-        cfg = variant_config(variant, scan_steps=args.scan, seed=0)
+        cfg = variant_config(variant, scan_steps=args.scan, seed=0,
+                             arch=args.arch)
         t = Trainer(config=cfg, data=raw)
         t.train(steps=args.steps)
         samples = t.sample(args.n)
         scores = score_samples(clf, samples)
         scores["fid"] = fid_score(clf, real_ref, samples)
         row = {"variant": variant, "steps": args.steps,
+               **({"arch": args.arch} if args.arch != "mlp" else {}),
                **{k: round(v, 4) for k, v in scores.items()}}
         results.append(row)
         print(json.dumps(row), flush=True)
 
     out = args.out or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "quality_results.json")
+        os.path.dirname(os.path.abspath(__file__)),
+        "quality_results.json" if args.arch == "mlp"
+        else "quality_results_conv.json")
     if args.variants and os.path.isfile(out):
         # partial sweep: merge into the existing file by variant name
         # instead of clobbering the variants that didn't run

@@ -46,6 +46,14 @@ class Config:
     data_storage: str = "float32"  # "float32" | "uint8"
 
     # --- model --------------------------------------------------------
+    # Shared architecture the whole loss-head zoo runs on. "mlp" is the
+    # reference-parity stack (SURVEY §3.2 common scaffolding; all parity
+    # oracles/trajectory tests target it). "conv" swaps in DCGAN-style
+    # conv stacks (models/conv.py) behind the same flat-tensor
+    # signatures — a capability beyond the reference, NHWC convs on the
+    # MXU; measured quality comparison in docs/gallery.md.
+    arch: str = "mlp"              # "mlp" | "conv"
+    conv_channels: int = 64        # C of the conv stacks (G: 2C->C->1)
     z_dim: int = 128               # TO-VERIFY (R-low; some repos use 100)
     hidden_dim: int = 400          # TO-VERIFY (R-low; 256-400 range)
     g_hidden_act: str = "relu"     # TO-VERIFY
@@ -159,6 +167,16 @@ class Config:
         return dataclasses.replace(self, **kw)
 
     def __post_init__(self):
+        if self.arch not in ("mlp", "conv"):
+            raise ValueError(f"arch must be mlp|conv, got {self.arch!r}")
+        if self.arch == "conv" and self.tp > 1:
+            raise ValueError(
+                "tp>1 shards the MLP stacks Megatron-style "
+                "(parallel/tp.py); the conv stacks have no sharding "
+                "rules — use arch='mlp' with tp, or dp for conv")
+        if self.arch == "conv" and self.conv_channels < 1:
+            raise ValueError(
+                f"conv_channels must be >= 1, got {self.conv_channels}")
         if self.dtype not in ("float32", "bfloat16"):
             raise ValueError(f"dtype must be float32|bfloat16, got {self.dtype!r}")
         if self.optimizer not in ("adam", "rmsprop"):

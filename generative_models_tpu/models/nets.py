@@ -24,16 +24,30 @@ def _cdt(cfg: Config):
     return jnp.bfloat16 if cfg.dtype == "bfloat16" else None
 
 
+def _conv(cfg: Config) -> bool:
+    """Every init/apply below dispatches on `Config.arch`: "mlp" is the
+    reference-parity stack; "conv" swaps in the DCGAN-style stacks
+    (models/conv.py) behind the SAME flat-tensor signatures, so the
+    whole loss-head zoo runs on either architecture unchanged."""
+    return cfg.arch == "conv"
+
+
 # --------------------------------------------------------------------
 # Generator: z [B, z_dim] -> images [B, 784] in [0, 1] (sigmoid head)
 # --------------------------------------------------------------------
 
 def generator_init(rng, cfg: Config, in_dim=None):
+    if _conv(cfg):
+        from generative_models_tpu.models import conv
+        return conv.generator_init(rng, cfg, in_dim)
     in_dim = cfg.z_dim if in_dim is None else in_dim
     return mlp_init(rng, [in_dim, cfg.hidden_dim, cfg.image_dim])
 
 
 def generator_apply(params, z, cfg: Config):
+    if _conv(cfg):
+        from generative_models_tpu.models import conv
+        return conv.generator_apply(params, z, cfg)
     x = mlp_apply(params, z, hidden_act=cfg.g_hidden_act, out_act="sigmoid",
                   slope=cfg.leaky_slope, compute_dtype=_cdt(cfg))
     return x.astype(jnp.float32)
@@ -44,11 +58,17 @@ def generator_apply(params, z, cfg: Config):
 # --------------------------------------------------------------------
 
 def discriminator_init(rng, cfg: Config, in_dim=None):
+    if _conv(cfg):
+        from generative_models_tpu.models import conv
+        return conv.discriminator_init(rng, cfg)
     in_dim = cfg.image_dim if in_dim is None else in_dim
     return mlp_init(rng, [in_dim, cfg.hidden_dim, 1])
 
 
 def discriminator_apply(params, x, cfg: Config):
+    if _conv(cfg):
+        from generative_models_tpu.models import conv
+        return conv.discriminator_apply(params, x, cfg)
     out = mlp_apply(params, x, hidden_act=cfg.d_hidden_act, out_act="none",
                     slope=cfg.leaky_slope, compute_dtype=_cdt(cfg))
     return out.astype(jnp.float32)[..., 0]
@@ -72,10 +92,16 @@ def cond_generator_apply(params, z, labels, cfg: Config):
 
 
 def cond_discriminator_init(rng, cfg: Config):
+    if _conv(cfg):
+        from generative_models_tpu.models import conv
+        return conv.cond_discriminator_init(rng, cfg)
     return discriminator_init(rng, cfg, in_dim=cfg.image_dim + cfg.num_classes)
 
 
 def cond_discriminator_apply(params, x, labels, cfg: Config):
+    if _conv(cfg):
+        from generative_models_tpu.models import conv
+        return conv.cond_discriminator_apply(params, x, labels, cfg)
     xy = jnp.concatenate([x, onehot(labels, cfg.num_classes)], axis=-1)
     return discriminator_apply(params, xy, cfg)
 
@@ -85,6 +111,9 @@ def cond_discriminator_apply(params, x, labels, cfg: Config):
 # --------------------------------------------------------------------
 
 def encoder_init(rng, cfg: Config):
+    if _conv(cfg):
+        from generative_models_tpu.models import conv
+        return conv.encoder_init(rng, cfg)
     r1, r2, r3 = jax.random.split(rng, 3)
     return {
         "trunk": mlp_init(r1, [cfg.image_dim, cfg.vae_hidden_dim]),
@@ -94,6 +123,9 @@ def encoder_init(rng, cfg: Config):
 
 
 def encoder_apply(params, x, cfg: Config):
+    if _conv(cfg):
+        from generative_models_tpu.models import conv
+        return conv.encoder_apply(params, x, cfg)
     h = mlp_apply(params["trunk"], x, hidden_act="relu", out_act="relu",
                   compute_dtype=_cdt(cfg))
     mu = mlp_apply([params["mu"]], h, out_act="none", compute_dtype=_cdt(cfg))
@@ -103,12 +135,18 @@ def encoder_apply(params, x, cfg: Config):
 
 
 def decoder_init(rng, cfg: Config):
+    if _conv(cfg):
+        from generative_models_tpu.models import conv
+        return conv.decoder_init(rng, cfg)
     return mlp_init(rng, [cfg.latent_dim, cfg.vae_hidden_dim, cfg.image_dim])
 
 
 def decoder_apply(params, z, cfg: Config, logits: bool = False):
     """Bernoulli decoder. `logits=True` returns pre-sigmoid logits for
     numerically-stable BCE."""
+    if _conv(cfg):
+        from generative_models_tpu.models import conv
+        return conv.decoder_apply(params, z, cfg, logits=logits)
     out_act = "none" if logits else "sigmoid"
     x = mlp_apply(params, z, hidden_act="relu", out_act=out_act,
                   compute_dtype=_cdt(cfg))
@@ -121,11 +159,17 @@ def decoder_apply(params, z, cfg: Config, logits: bool = False):
 # --------------------------------------------------------------------
 
 def began_d_init(rng, cfg: Config):
+    if _conv(cfg):
+        from generative_models_tpu.models import conv
+        return conv.began_d_init(rng, cfg)
     return mlp_init(rng, [cfg.image_dim, cfg.began_ae_hidden, cfg.image_dim])
 
 
 def began_d_apply(params, x, cfg: Config):
     """Returns the autoencoder reconstruction of x (in [0,1])."""
+    if _conv(cfg):
+        from generative_models_tpu.models import conv
+        return conv.began_d_apply(params, x, cfg)
     out = mlp_apply(params, x, hidden_act=cfg.d_hidden_act, out_act="sigmoid",
                     slope=cfg.leaky_slope, compute_dtype=_cdt(cfg))
     return out.astype(jnp.float32)
@@ -137,6 +181,9 @@ def began_d_apply(params, x, cfg: Config):
 # --------------------------------------------------------------------
 
 def infogan_d_init(rng, cfg: Config):
+    if _conv(cfg):
+        from generative_models_tpu.models import conv
+        return conv.infogan_d_init(rng, cfg)
     r1, r2, r3 = jax.random.split(rng, 3)
     q_out = cfg.info_cat_dim + 2 * cfg.info_cont_dim
     return {
@@ -149,6 +196,9 @@ def infogan_d_init(rng, cfg: Config):
 def infogan_d_apply(params, x, cfg: Config):
     """Returns (d_logit [B], q_cat_logits [B, cat], q_mu [B, cont],
     q_logvar [B, cont])."""
+    if _conv(cfg):
+        from generative_models_tpu.models import conv
+        return conv.infogan_d_apply(params, x, cfg)
     h = mlp_apply(params["trunk"], x, hidden_act=cfg.d_hidden_act,
                   out_act=cfg.d_hidden_act, slope=cfg.leaky_slope,
                   compute_dtype=_cdt(cfg))
