@@ -104,6 +104,43 @@ def quality_section() -> str:
     return "\n".join(lines)
 
 
+def conv_quality_section() -> str:
+    """Conv-vs-MLP architecture comparison at the 6k budget, rendered
+    from quality_results_conv.json (`quality_sweep.py --arch conv`).
+    Empty string if no conv results exist."""
+    conv = _load_rows(os.path.join("benchmarks", "quality_results_conv.json"))
+    mlp6 = _load_rows(os.path.join("benchmarks", "quality_results_6k.json"))
+    conv = {v: r for v, r in conv.items() if v != "REAL-DATA"}
+    if not conv:
+        return ""
+    label = {"fgan": "fgan (JS)"}
+    order = sorted(conv, key=lambda v: -conv[v]["is_score"])
+    lines = [
+        "## Architecture comparison: `--arch conv` (DCGAN-style) vs the "
+        "MLP stack",
+        "",
+        "Same loss heads, same registry hyperparameters, same 6k-step",
+        "budget and scorer — only `Config.arch` differs "
+        "(models/conv.py; docs/design.md §8).",
+        "",
+        "| variant | IS conv @6k | IS mlp @6k | FID conv @6k | FID mlp @6k |",
+        "|---|---|---|---|---|",
+    ]
+    for v in order:
+        c, m = conv[v], mlp6.get(v, {})
+        lines.append(
+            f"| {label.get(v, v)} | {c['is_score']} "
+            f"| {m.get('is_score', '—')} | {c.get('fid', '—')} "
+            f"| {m.get('fid', '—')} |")
+    lines += [
+        "",
+        "Regenerate: `python benchmarks/quality_sweep.py --steps 6000 "
+        "--arch conv`.",
+        "",
+    ]
+    return "\n".join(lines)
+
+
 def _carried_analysis() -> str:
     if not os.path.isfile(GALLERY_MD):
         return ""
@@ -117,6 +154,9 @@ def write_gallery_md(steps: int, variants) -> None:
     q = quality_section()
     if q:
         parts.append(q)
+    cq = conv_quality_section()
+    if cq:
+        parts.append(cq)
     parts.append(_carried_analysis())
     parts.append(
         f"Samples and loss curves after {steps} steps per variant "

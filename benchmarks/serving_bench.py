@@ -1,0 +1,91 @@
+"""Serving-path throughput: generated images/sec from the jitted
+sampler, per architecture and batch size, on the attached chip.
+
+The reference's "serving" is calling `generate_images` in a notebook
+(SURVEY.md §4.5) — no numbers exist or could. This measures the
+framework's inference surface: the SAME jitted sample fn the Trainer,
+`--sample-only`, and the StableHLO export artifact wrap.
+
+Timing discipline matches BASELINE.md's "timing honesty" note: the
+axon tunnel memoizes identical dispatches and `block_until_ready` can
+return early, so every rep draws with a DIFFERENT fold-in of the key
+and the clock stops only after fetching a value that data-depends on
+the last batch.
+
+    python benchmarks/serving_bench.py [--arch mlp conv] [--batches 64 1024 8192]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def bench_sampler(variant, arch, n, reps=64):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from generative_models_tpu.config import variant_config
+    from generative_models_tpu.losses.registry import get_variant
+
+    cfg = variant_config(variant, arch=arch)
+    spec = get_variant(variant)
+    params = (spec.init_g if spec.adversarial else spec.init_params)(
+        jax.random.PRNGKey(0), cfg)
+
+    # `reps` batches fused into ONE dispatch (lax.scan), so the axon
+    # tunnel's ~100 ms/dispatch latency is amortized exactly like the
+    # trainer's scan_steps — this measures the DEVICE serving rate.
+    # The carry sums a pixel of each batch so no draw can be elided.
+    @jax.jit
+    def many(key):
+        def body(acc, i):
+            imgs = spec.sample(params, jax.random.fold_in(key, i), n, cfg)
+            return acc + imgs[0, 0], None
+        acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(reps))
+        return acc
+
+    float(many(jax.random.PRNGKey(1)))   # compile + warmup, fenced
+    t0 = time.perf_counter()
+    float(many(jax.random.PRNGKey(2)))   # value fetch fences the run
+    dt = time.perf_counter() - t0
+    return reps * n / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variant", default="nsgan")
+    ap.add_argument("--arch", nargs="*", default=["mlp", "conv"])
+    ap.add_argument("--batches", nargs="*", type=int,
+                    default=[64, 1024, 8192])
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    rows = []
+    for arch in args.arch:
+        for n in args.batches:
+            ips = bench_sampler(args.variant, arch, n)
+            row = {"variant": args.variant, "arch": arch, "batch": n,
+                   "images_per_sec": round(ips, 1)}
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+
+    out = args.out or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "serving_results.json")
+    with open(out, "w") as f:
+        json.dump(rows, f, indent=1)
+
+    print("\n| arch | batch | images/sec |")
+    print("|---|---|---|")
+    for r in rows:
+        print(f"| {r['arch']} | {r['batch']} | {r['images_per_sec']} |")
+
+
+if __name__ == "__main__":
+    main()

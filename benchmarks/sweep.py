@@ -41,10 +41,16 @@ def main():
     ap.add_argument("--steps", type=int, default=4000)
     ap.add_argument("--scan", type=int, default=1000)
     ap.add_argument("--variants", nargs="*", default=None)
+    ap.add_argument("--arch", default="mlp", choices=("mlp", "conv"),
+                    help="architecture; conv defaults to the headline "
+                         "variant (nsgan — the only conv torch replica) "
+                         "and writes sweep_results_conv.json")
     ap.add_argument("--no-torch", action="store_true",
                     help="skip the torch-eager baseline column")
     ap.add_argument("--torch-steps", type=int, default=60)
     args = ap.parse_args()
+    if args.arch == "conv" and args.variants is None:
+        args.variants = ["nsgan"]
 
     from generative_models_tpu.config import variant_config
     from generative_models_tpu.data.mnist import load_mnist
@@ -55,7 +61,7 @@ def main():
     results = []
     for variant in (args.variants or available_variants()):
         cfg = variant_config(variant, batch_size=100, scan_steps=args.scan,
-                             seed=0)
+                             seed=0, arch=args.arch)
         t = Trainer(config=cfg, data=data)
         # sample_every=-1: no sample grids inside the timed window —
         # the torch replica generates no images either (same rule as
@@ -81,7 +87,8 @@ def main():
         print(json.dumps(row), flush=True)
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "sweep_results.json")
+                       "sweep_results.json" if args.arch == "mlp"
+                       else "sweep_results_conv.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
 

@@ -63,11 +63,77 @@ def _gp(D, x_hat, lam=10.0):
     return lam * ((norms - 1.0) ** 2).mean()
 
 
+def _G_conv(z_dim, c):
+    """Eager-torch twin of models/conv.py's DCGAN generator (dense
+    z -> 7*7*2C, GroupNorm+ReLU, two stride-2 4x4 transposed convs,
+    sigmoid) — the conv-arch speed baseline."""
+    class GConv(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fc = nn.Linear(z_dim, 7 * 7 * 2 * c)
+            self.gn0 = nn.GroupNorm(min(8, 2 * c), 2 * c)
+            self.up1 = nn.ConvTranspose2d(2 * c, c, 4, 2, 1)
+            self.gn1 = nn.GroupNorm(min(8, c), c)
+            self.up2 = nn.ConvTranspose2d(c, 1, 4, 2, 1)
+
+        def forward(self, z):
+            h = self.fc(z).view(-1, 2 * c, 7, 7)
+            h = torch.relu(self.gn0(h))
+            h = torch.relu(self.gn1(self.up1(h)))
+            return torch.sigmoid(self.up2(h)).flatten(1)
+    return GConv()
+
+
+def _D_conv(c):
+    """Eager-torch twin of models/conv.py's conv critic (two stride-2
+    4x4 convs, LeakyReLU, no norm, dense head)."""
+    class DConv(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.c1 = nn.Conv2d(1, c, 4, 2, 1)
+            self.c2 = nn.Conv2d(c, 2 * c, 4, 2, 1)
+            self.fc = nn.Linear(7 * 7 * 2 * c, 1)
+
+        def forward(self, x):
+            h = torch.nn.functional.leaky_relu(
+                self.c1(x.view(-1, 1, 28, 28)), 0.2)
+            h = torch.nn.functional.leaky_relu(self.c2(h), 0.2)
+            return self.fc(h.flatten(1))
+    return DConv()
+
+
 def make_replica(variant: str, cfg, x_train: np.ndarray,
                  y_train: np.ndarray):
     """Returns step(): one full G+D train step (d_steps critic updates +
     one G update), eager, reference idiom."""
     torch.manual_seed(0)
+    if getattr(cfg, "arch", "mlp") == "conv":
+        if variant != "nsgan":
+            raise NotImplementedError(
+                "conv torch replica is implemented for the headline "
+                "variant (nsgan) only; the per-variant ratio story is "
+                "made on the MLP stack (sweep_results.json)")
+        B, ZD, C = cfg.batch_size, cfg.z_dim, cfg.conv_channels
+        x = torch.from_numpy(np.ascontiguousarray(
+            x_train.reshape(len(x_train), -1).astype("float32")))
+        if x_train.dtype == np.uint8:
+            x = x / 255.0
+        bat = _Batcher(x, torch.zeros(len(x)), B)
+        G, D = _G_conv(ZD, C), _D_conv(C)
+        g_opt = _adam(G.parameters(), cfg.g_lr, (cfg.adam_b1, cfg.adam_b2))
+        d_opt = _adam(D.parameters(), cfg.d_lr, (cfg.adam_b1, cfg.adam_b2))
+
+        def step():
+            xb, _ = bat.next()
+            z = torch.randn(B, ZD)
+            fake = G(z)
+            d_loss = BCE(D(xb).squeeze(1), torch.ones(B)) + \
+                BCE(D(fake.detach()).squeeze(1), torch.zeros(B))
+            d_opt.zero_grad(); d_loss.backward(); d_opt.step()
+            z = torch.randn(B, ZD)
+            g_loss = BCE(D(G(z)).squeeze(1), torch.ones(B))
+            g_opt.zero_grad(); g_loss.backward(); g_opt.step()
+        return step
     B, H, ZD = cfg.batch_size, cfg.hidden_dim, cfg.z_dim
     x = torch.from_numpy(np.ascontiguousarray(
         x_train.reshape(len(x_train), -1).astype("float32")))
