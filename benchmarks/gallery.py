@@ -123,15 +123,25 @@ def conv_quality_section() -> str:
         "budget and scorer — only `Config.arch` differs "
         "(models/conv.py; docs/design.md §8).",
         "",
-        "| variant | IS conv @6k | IS mlp @6k | FID conv @6k | FID mlp @6k |",
-        "|---|---|---|---|---|",
     ]
+    has_grids = any(os.path.isfile(
+        os.path.join(GALLERY_DIR, f"{v}_conv_samples.png")) for v in conv)
+    head = "| variant | IS conv @6k | IS mlp @6k | FID conv @6k | FID mlp @6k |"
+    sep = "|---|---|---|---|---|"
+    if has_grids:
+        head += " conv samples |"
+        sep += "---|"
+    lines += [head, sep]
     for v in order:
         c, m = conv[v], mlp6.get(v, {})
-        lines.append(
-            f"| {label.get(v, v)} | {c['is_score']} "
-            f"| {m.get('is_score', '—')} | {c.get('fid', '—')} "
-            f"| {m.get('fid', '—')} |")
+        row = (f"| {label.get(v, v)} | {c['is_score']} "
+               f"| {m.get('is_score', '—')} | {c.get('fid', '—')} "
+               f"| {m.get('fid', '—')} |")
+        if has_grids:
+            png = f"{v}_conv_samples.png"
+            row += (f" ![{v} conv](gallery/{png}) |" if os.path.isfile(
+                os.path.join(GALLERY_DIR, png)) else " — |")
+        lines.append(row)
     lines += [
         "",
         "Regenerate: `python benchmarks/quality_sweep.py --steps 6000 "
@@ -204,6 +214,12 @@ def main():
     ap.add_argument("--md-only", action="store_true",
                     help="rewrite docs/gallery.md from existing "
                          "artifacts without training")
+    ap.add_argument("--arch", default="mlp", choices=("mlp", "conv"),
+                    help="conv trains the requested variants with "
+                         "--arch conv and writes <v>_conv_samples.png "
+                         "grids (embedded in the architecture-"
+                         "comparison section); the main table stays "
+                         "the MLP reference-parity stack")
     args = ap.parse_args()
 
     from generative_models_tpu.losses.registry import available_variants
@@ -227,19 +243,21 @@ def main():
         data = load_mnist(allow_synthetic=True,
                           synthetic_sizes=(12000, 1000))
         os.makedirs(GALLERY_DIR, exist_ok=True)
+        suffix = "_conv" if args.arch == "conv" else ""
         for variant in variants:
             cfg = variant_config(variant, batch_size=100,
-                                 scan_steps=1000, seed=0)
+                                 scan_steps=1000, seed=0, arch=args.arch)
             t = Trainer(config=cfg, data=data)
             t.train(steps=args.steps)
             grid = save_image_grid(
-                os.path.join(GALLERY_DIR, f"{variant}_samples.png"),
+                os.path.join(GALLERY_DIR, f"{variant}{suffix}_samples.png"),
                 t.sample(64))
             plot_losses(
-                os.path.join(GALLERY_DIR, f"{variant}_loss.png"),
+                os.path.join(GALLERY_DIR, f"{variant}{suffix}_loss.png"),
                 t.history)
             print(f"{variant}: {grid}", flush=True)
-        if not args.variants:  # a full run defines the page's provenance
+        if not args.variants and args.arch == "mlp":
+            # a full MLP run defines the page's provenance
             with open(META_PATH, "w") as f:
                 json.dump({"steps": args.steps}, f)
 

@@ -132,17 +132,25 @@ def _flat(x):
 # Generator / decoder: latent [B, in_dim] -> images [B, 784] in [0, 1]
 # --------------------------------------------------------------------
 
-def generator_init(rng, cfg, in_dim=None):
+def generator_init(rng, cfg, in_dim=None, norm: bool = True):
+    """`norm=False` omits the GroupNorms — used for the BEGAN AE-critic
+    decoder to match the paper's norm-free autoencoder (Berthelot 2017
+    uses plain ELU convs). Measured honestly: BEGAN-conv collapses at
+    this budget with OR without decoder norm (8 γ/lr settings swept;
+    norm-free is kept for paper fidelity and its somewhat better FID
+    220 vs 289 — docs/gallery.md analysis)."""
     in_dim = cfg.z_dim if in_dim is None else in_dim
     c = cfg.conv_channels
     r = jax.random.split(rng, 4)
-    return {
+    params = {
         "fc": linear_init(r[0], in_dim, 7 * 7 * 2 * c),
-        "gn0": gn_init(2 * c),
         "up1": conv_init(r[1], 4, 4, 2 * c, c),
-        "gn1": gn_init(c),
         "up2": conv_init(r[2], 4, 4, c, 1),
     }
+    if norm:
+        params["gn0"] = gn_init(2 * c)
+        params["gn1"] = gn_init(c)
+    return params
 
 
 def generator_apply(params, z, cfg, out_act: str = "sigmoid"):
@@ -151,9 +159,11 @@ def generator_apply(params, z, cfg, out_act: str = "sigmoid"):
     h = fused_linear(z, params["fc"]["w"], params["fc"]["b"], act="none",
                      compute_dtype=cdt)
     h = h.reshape(h.shape[0], 7, 7, 2 * c)
-    h = apply_act(gn_apply(params["gn0"], h), "relu")
+    h = apply_act(gn_apply(params["gn0"], h) if "gn0" in params else h,
+                  "relu")
     h = convt_apply(params["up1"], h, stride=2, compute_dtype=cdt)
-    h = apply_act(gn_apply(params["gn1"], h), "relu")
+    h = apply_act(gn_apply(params["gn1"], h) if "gn1" in params else h,
+                  "relu")
     h = convt_apply(params["up2"], h, stride=2, act=out_act,
                     compute_dtype=cdt)
     return _flat(h).astype(jnp.float32)
@@ -264,7 +274,9 @@ def began_d_init(rng, cfg):
     return {
         "enc_trunk": trunk_init(r[0], cfg),
         "enc_fc": linear_init(r[1], trunk_out_dim(cfg), cfg.began_ae_hidden),
-        "dec": generator_init(r[2], cfg, in_dim=cfg.began_ae_hidden),
+        # norm-free decoder: paper-faithful (see generator_init's note)
+        "dec": generator_init(r[2], cfg, in_dim=cfg.began_ae_hidden,
+                              norm=False),
     }
 
 

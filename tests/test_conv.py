@@ -148,6 +148,20 @@ def test_conv_upsample_shapes():
     assert logits.shape == (3,)
 
 
+def test_began_conv_ae_decoder_is_norm_free():
+    """Paper-faithful AE critic (Berthelot 2017 uses plain convs): the
+    BEGAN conv decoder must carry no GroupNorm params — measured sweep
+    in docs/gallery.md; docstring in conv.generator_init."""
+    cfg = variant_config("began", arch="conv", conv_channels=4)
+    d = conv.began_d_init(jax.random.PRNGKey(0), cfg)
+    assert "gn0" not in d["dec"] and "gn1" not in d["dec"]
+    out = conv.began_d_apply(d, jnp.zeros((2, 784)), cfg)
+    assert out.shape == (2, 784)
+    # the GAN generator keeps its norms
+    g = conv.generator_init(jax.random.PRNGKey(1), cfg)
+    assert "gn0" in g and "gn1" in g
+
+
 def test_tp_with_conv_refused():
     with pytest.raises(ValueError, match="conv"):
         variant_config("nsgan", arch="conv", tp=2)
