@@ -124,12 +124,19 @@ def conv_quality_section() -> str:
         "(models/conv.py; docs/design.md §8).",
         "",
     ]
-    has_grids = any(os.path.isfile(
-        os.path.join(GALLERY_DIR, f"{v}_conv_samples.png")) for v in conv)
+    def _have(kind):
+        return any(os.path.isfile(
+            os.path.join(GALLERY_DIR, f"{v}_conv_{kind}.png"))
+            for v in conv)
+
+    has_grids, has_losses = _have("samples"), _have("loss")
     head = "| variant | IS conv @6k | IS mlp @6k | FID conv @6k | FID mlp @6k |"
     sep = "|---|---|---|---|---|"
     if has_grids:
         head += " conv samples |"
+        sep += "---|"
+    if has_losses:
+        head += " conv losses |"
         sep += "---|"
     lines += [head, sep]
     for v in order:
@@ -137,10 +144,12 @@ def conv_quality_section() -> str:
         row = (f"| {label.get(v, v)} | {c['is_score']} "
                f"| {m.get('is_score', '—')} | {c.get('fid', '—')} "
                f"| {m.get('fid', '—')} |")
-        if has_grids:
-            png = f"{v}_conv_samples.png"
-            row += (f" ![{v} conv](gallery/{png}) |" if os.path.isfile(
-                os.path.join(GALLERY_DIR, png)) else " — |")
+        for kind, on in (("samples", has_grids), ("loss", has_losses)):
+            if on:
+                png = f"{v}_conv_{kind}.png"
+                row += (f" ![{v} conv {kind}](gallery/{png}) |"
+                        if os.path.isfile(os.path.join(GALLERY_DIR, png))
+                        else " — |")
         lines.append(row)
     lines += [
         "",

@@ -42,12 +42,15 @@ def bench_sampler(variant, arch, n, reps=64):
     # `reps` batches fused into ONE dispatch (lax.scan), so the axon
     # tunnel's ~100 ms/dispatch latency is amortized exactly like the
     # trainer's scan_steps — this measures the DEVICE serving rate.
-    # The carry sums a pixel of each batch so no draw can be elided.
+    # The carry sums EVERY pixel of each batch: a single-element carry
+    # would let XLA slice the sampler chain down to one batch row and
+    # inflate the rate (the reduction's cost is negligible vs the
+    # generator itself).
     @jax.jit
     def many(key):
         def body(acc, i):
             imgs = spec.sample(params, jax.random.fold_in(key, i), n, cfg)
-            return acc + imgs[0, 0], None
+            return acc + imgs.sum(), None
         acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(reps))
         return acc
 

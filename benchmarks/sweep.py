@@ -49,7 +49,7 @@ def main():
                     help="skip the torch-eager baseline column")
     ap.add_argument("--torch-steps", type=int, default=60)
     args = ap.parse_args()
-    if args.arch == "conv" and args.variants is None:
+    if args.arch == "conv" and not args.variants:
         args.variants = ["nsgan"]
 
     from generative_models_tpu.config import variant_config
@@ -79,10 +79,18 @@ def main():
                        if "g_loss" in hist else None),
         }
         if not args.no_torch:
-            tsps = bench_torch_variant(variant, cfg, data,
-                                       steps=args.torch_steps)
-            row["torch_steps_per_sec"] = round(tsps, 2)
-            row["ratio"] = round(row["steps_per_sec"] / tsps, 1)
+            try:
+                tsps = bench_torch_variant(variant, cfg, data,
+                                           steps=args.torch_steps)
+            except NotImplementedError as e:
+                # conv replicas exist for the headline variant only;
+                # keep the (expensive, already-measured) TPU row
+                # rather than aborting the sweep
+                print(f"# no torch baseline for {variant}: {e}",
+                      flush=True)
+            else:
+                row["torch_steps_per_sec"] = round(tsps, 2)
+                row["ratio"] = round(row["steps_per_sec"] / tsps, 1)
         results.append(row)
         print(json.dumps(row), flush=True)
 

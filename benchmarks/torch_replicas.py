@@ -63,17 +63,29 @@ def _gp(D, x_hat, lam=10.0):
     return lam * ((norms - 1.0) ** 2).mean()
 
 
+def _gn_groups(c):
+    """Mirror models/conv.py::gn_apply's group fallback (min(8, c),
+    walked down to a divisor) so the twin stays twin-shaped at any
+    conv_channels — torch's nn.GroupNorm raises on non-divisors."""
+    g = min(8, c)
+    while c % g:
+        g -= 1
+    return g
+
+
 def _G_conv(z_dim, c):
     """Eager-torch twin of models/conv.py's DCGAN generator (dense
     z -> 7*7*2C, GroupNorm+ReLU, two stride-2 4x4 transposed convs,
-    sigmoid) — the conv-arch speed baseline."""
+    sigmoid) — a SPEED baseline: same ops/shapes; init scale follows
+    torch defaults (ConvTranspose2d fan differs from the JAX stack's
+    uniform input-fan rule, irrelevant to steps/sec)."""
     class GConv(nn.Module):
         def __init__(self):
             super().__init__()
             self.fc = nn.Linear(z_dim, 7 * 7 * 2 * c)
-            self.gn0 = nn.GroupNorm(min(8, 2 * c), 2 * c)
+            self.gn0 = nn.GroupNorm(_gn_groups(2 * c), 2 * c)
             self.up1 = nn.ConvTranspose2d(2 * c, c, 4, 2, 1)
-            self.gn1 = nn.GroupNorm(min(8, c), c)
+            self.gn1 = nn.GroupNorm(_gn_groups(c), c)
             self.up2 = nn.ConvTranspose2d(c, 1, 4, 2, 1)
 
         def forward(self, z):

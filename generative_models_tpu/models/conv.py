@@ -24,9 +24,13 @@ Design (Radford et al. 2016 "DCGAN", adapted to 28x28 single-channel):
 - Critic/encoder trunk: two stride-2 4x4 convs (28->14->7), LeakyReLU,
   no normalization — the WGAN-GP paper's recommendation for critics
   (per-sample penalty conflicts with batch norm), applied uniformly.
-- Init matches the dense stack's torch-default convention:
-  U(+-1/sqrt(fan_in)) with fan_in = kh*kw*cin for both conv and
-  transposed-conv kernels (torch's kaiming_uniform_(a=sqrt(5)) bound).
+- Init: U(+-1/sqrt(kh*kw*cin)) uniformly for all kernels — the torch
+  Conv2d default bound. NOTE: torch's ConvTranspose2d default uses
+  fan_in = cout*kh*kw (weight [cin,cout,kh,kw], size(1)=cout); we
+  deliberately keep the input-fan form for every kernel so one rule
+  covers the stack. The torch replica in benchmarks is a SPEED
+  baseline (init scale does not affect steps/sec), not a trajectory
+  oracle — trajectory parity is pinned on the MLP stack only.
 - Everything is plain `lax.conv_general_dilated` / `lax.conv_transpose`
   + elementwise ops: differentiable to second order, so WGAN-GP/DRAGAN
   grad-of-grad works on the conv critic unchanged. XLA lowers these
@@ -73,12 +77,22 @@ def conv_apply(layer, x, stride: int, act: str = "none",
                slope: float = 0.2, compute_dtype=None):
     """y = act(conv2d(x, W, stride, SAME) + b), f32 accumulation."""
     w = layer["w"]
-    if compute_dtype is not None and x.dtype != compute_dtype:
+    if compute_dtype is not None:
+        # cast BOTH unconditionally: the input may already arrive in
+        # compute_dtype from a previous layer while the kernel is f32,
+        # and lax.conv requires matching dtypes
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
+    # f32 path: expose the f32 accumulator explicitly. bf16 path: leave
+    # the output bf16 — the MXU accumulates f32 in hardware regardless,
+    # and an explicit f32 output would make the conv's TRANSPOSE (the
+    # grad) mix an f32 cotangent with the bf16 kernel, which lax.conv
+    # rejects (dot_general's transpose handles that mix; conv's does
+    # not — found under jax.grad, regression-tested).
+    pet = jnp.float32 if x.dtype == jnp.float32 else None
     y = lax.conv_general_dilated(
         x, w, window_strides=(stride, stride), padding="SAME",
-        dimension_numbers=_DN, preferred_element_type=jnp.float32)
+        dimension_numbers=_DN, preferred_element_type=pet)
     y = y.astype(x.dtype) + layer["b"].astype(x.dtype)
     return apply_act(y, act, slope)
 
@@ -88,12 +102,14 @@ def convt_apply(layer, x, stride: int, act: str = "none",
     """y = act(conv_transpose2d(x, W, stride, SAME) + b). Doubles H, W
     at stride 2 with a 4x4 kernel (the DCGAN upsample block)."""
     w = layer["w"]
-    if compute_dtype is not None and x.dtype != compute_dtype:
+    if compute_dtype is not None:
+        # unconditional cast — see conv_apply
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
+    pet = jnp.float32 if x.dtype == jnp.float32 else None  # see conv_apply
     y = lax.conv_transpose(
         x, w, strides=(stride, stride), padding="SAME",
-        dimension_numbers=_DN, preferred_element_type=jnp.float32)
+        dimension_numbers=_DN, preferred_element_type=pet)
     y = y.astype(x.dtype) + layer["b"].astype(x.dtype)
     return apply_act(y, act, slope)
 

@@ -127,6 +127,35 @@ def test_conv_critic_is_twice_differentiable():
     assert float(jnp.abs(flat).max()) > 0.0
 
 
+def test_conv_bfloat16_compute_path():
+    """Regression: layer 2 of a conv stack receives an already-bf16
+    input; the kernel must be cast unconditionally or lax.conv raises
+    a mixed-dtype TypeError (found by review, confirmed by repro)."""
+    cfg = variant_config("began", arch="conv", conv_channels=4,
+                         dtype="bfloat16", batch_size=8, z_dim=8)
+    d = conv.discriminator_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 784))
+    logits = conv.discriminator_apply(d, x, cfg)
+    assert logits.shape == (2,) and np.isfinite(np.asarray(logits)).all()
+    ae = conv.began_d_init(jax.random.PRNGKey(2), cfg)
+    recon = conv.began_d_apply(ae, x, cfg)  # norm-free decoder path
+    assert recon.shape == (2, 784)
+    g = conv.generator_init(jax.random.PRNGKey(3), cfg)
+    imgs = conv.generator_apply(g, jnp.zeros((2, cfg.z_dim)), cfg)
+    assert np.isfinite(np.asarray(imgs)).all()
+    # the GRAD must also trace: with an explicit f32 conv output the
+    # conv transpose mixes an f32 cotangent with the bf16 kernel and
+    # raises (second half of the same review finding)
+    spec = get_variant("nsgan")
+    rng = jax.random.PRNGKey(4)
+    batch = _batch(cfg, rng)
+    gg = spec.init_g(jax.random.PRNGKey(5), cfg)
+    grads = jax.grad(
+        lambda p: spec.d_loss(p, gg, batch, rng, {}, cfg)[0])(d)
+    flat, _ = jax.flatten_util.ravel_pytree(grads)
+    assert np.isfinite(np.asarray(flat)).all()
+
+
 def test_conv_init_matches_torch_default_bound():
     """Conv kernels follow the same U(+-1/sqrt(fan_in)) convention the
     dense stack pins against torch (models/mlp.py docstring)."""
@@ -146,6 +175,42 @@ def test_conv_upsample_shapes():
     d = conv.discriminator_init(jax.random.PRNGKey(1), cfg)
     logits = conv.discriminator_apply(d, out, cfg)
     assert logits.shape == (3,)
+
+
+def test_conv_loss_is_batch_decoupled_under_shard_map(monkeypatch):
+    """The GroupNorm design claim, pinned at the objective level: the
+    conv NSGAN d_loss on a full batch equals the pmean of per-shard
+    d_losses over a 4-device mesh (same params, same pinned noise) —
+    i.e. nothing in the conv stacks couples samples across the batch,
+    so shard_map DP trains the same objective as single-device.
+    (Kept at the loss level: compiling the full scanned conv trainer
+    twice costs minutes on the CPU harness — see the module note.)"""
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from generative_models_tpu.losses import minimax as minimax_mod
+
+    monkeypatch.setattr(minimax_mod, "compute_noise",
+                        lambda rng, n, z_dim: jnp.full((n, z_dim), 0.1))
+    cfg = variant_config("nsgan", arch="conv", conv_channels=4, z_dim=8,
+                         batch_size=16)
+    spec = get_variant("nsgan")
+    rng = jax.random.PRNGKey(0)
+    g = spec.init_g(jax.random.PRNGKey(1), cfg)
+    d = spec.init_d(jax.random.PRNGKey(2), cfg)
+    batch = _batch(cfg, rng)
+    full, _ = spec.d_loss(d, g, batch, rng, {}, cfg)
+
+    mesh = Mesh(np.array(jax.devices("cpu")[:4]), ("data",))
+    shard = shard_map(
+        lambda b: jax.lax.pmean(
+            spec.d_loss(d, g, b, rng, {}, cfg)[0], "data"),
+        mesh=mesh,
+        in_specs=({"image": P("data"), "label": P("data")},),
+        out_specs=P())
+    np.testing.assert_allclose(float(full), float(shard(batch)),
+                               rtol=2e-5)
 
 
 def test_began_conv_ae_decoder_is_norm_free():
