@@ -232,6 +232,26 @@ def test_tp_with_conv_refused():
         variant_config("nsgan", arch="conv", tp=2)
 
 
+def test_conv_sampler_exports_to_stablehlo(tmp_path):
+    """The serving artifact (utils/export.py) works for the conv
+    generator: export at init (no training needed), reload, and match
+    the in-framework sampler under the same key."""
+    from generative_models_tpu.utils.export import load_sampler, save_sampler
+
+    cfg = variant_config("nsgan", arch="conv", conv_channels=4, z_dim=8)
+    spec = get_variant("nsgan")
+    params = spec.init_g(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "conv_sampler.shlo")
+    save_sampler(path, spec, cfg, params, n=8)
+    fn = load_sampler(path)
+    a = np.asarray(fn(0))
+    assert a.shape == (8, 784)
+    assert a.min() >= 0.0 and a.max() <= 1.0
+    ours = np.asarray(spec.sample(
+        params, jax.random.key(0, impl="threefry2x32"), 8, cfg))
+    np.testing.assert_allclose(a, ours, rtol=1e-5, atol=1e-6)
+
+
 def test_conv_checkpoint_roundtrip(tmp_path, tiny_data):
     """Conv param pytrees ride the npz keypath/shape/dtype archive
     unchanged (no training needed: save/load at init, compare samples)."""
