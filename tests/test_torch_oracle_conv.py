@@ -1,0 +1,120 @@
+"""Torch value-parity oracle for the conv stacks (models/conv.py).
+
+The MLP stack's oracle tests pin loss values and grads against torch
+(tests/test_torch_oracle*.py). The conv stacks' INIT deliberately
+differs from torch's ConvTranspose2d fan convention (models/conv.py
+docstring), so parity here is tested the other way around: the SAME
+weights are loaded into both frameworks and the forward outputs must
+agree — pinning the op semantics (SAME-padding stride-2 conv and
+conv_transpose, GroupNorm, LeakyReLU) rather than the init.
+
+Weight layout mapping:
+- jax conv HWIO [kh,kw,cin,cout]  -> torch Conv2d [cout,cin,kh,kw]
+- jax conv_transpose (transpose_kernel=False, HWIO) computes the
+  transpose of a SAME stride-2 convolution whose kernel is W flipped
+  in H and W; torch ConvTranspose2d(weight [cin,cout,kh,kw],
+  padding=1) matches with W's spatial axes REVERSED.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+
+from generative_models_tpu.config import variant_config
+from generative_models_tpu.models import conv
+
+torch.manual_seed(0)
+RTOL, ATOL = 2e-5, 2e-5
+
+
+def _t(x):
+    return torch.from_numpy(np.asarray(x, dtype=np.float32))
+
+
+def _conv_w(layer):
+    """HWIO -> torch Conv2d OIHW."""
+    return _t(np.transpose(np.asarray(layer["w"]), (3, 2, 0, 1)))
+
+
+def _convt_w(layer):
+    """HWIO -> torch ConvTranspose2d IOHW, spatial axes reversed."""
+    w = np.asarray(layer["w"])[::-1, ::-1]  # flip kh, kw
+    return _t(np.transpose(w, (2, 3, 0, 1)).copy())
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return variant_config("nsgan", arch="conv", conv_channels=8, z_dim=16)
+
+
+def test_conv_trunk_matches_torch(cfg):
+    params = conv.trunk_init(jax.random.PRNGKey(0), cfg)
+    x = np.asarray(jax.random.uniform(jax.random.PRNGKey(1), (4, 784)))
+
+    ours = np.asarray(conv.trunk_apply(params, conv._img(jnp.asarray(x)),
+                                       cfg))
+
+    c = cfg.conv_channels
+    with torch.no_grad():
+        t1 = nn.Conv2d(1, c, 4, 2, 1)
+        t2 = nn.Conv2d(c, 2 * c, 4, 2, 1)
+        t1.weight.copy_(_conv_w(params["c1"]))
+        t1.bias.copy_(_t(params["c1"]["b"]))
+        t2.weight.copy_(_conv_w(params["c2"]))
+        t2.bias.copy_(_t(params["c2"]["b"]))
+        h = torch.nn.functional.leaky_relu(
+            t1(_t(x).view(4, 1, 28, 28)), cfg.leaky_slope)
+        h = torch.nn.functional.leaky_relu(t2(h), cfg.leaky_slope)
+        # torch NCHW -> NHWC flatten to match _flat's ordering
+        theirs = h.permute(0, 2, 3, 1).reshape(4, -1).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=RTOL, atol=ATOL)
+
+
+def test_conv_generator_matches_torch(cfg):
+    params = conv.generator_init(jax.random.PRNGKey(0), cfg)
+    z = np.asarray(jax.random.normal(jax.random.PRNGKey(1), (4, cfg.z_dim)))
+
+    ours = np.asarray(conv.generator_apply(params, jnp.asarray(z), cfg))
+
+    c = cfg.conv_channels
+    with torch.no_grad():
+        fc = nn.Linear(cfg.z_dim, 7 * 7 * 2 * c)
+        fc.weight.copy_(_t(params["fc"]["w"]).T)
+        fc.bias.copy_(_t(params["fc"]["b"]))
+        gn0 = nn.GroupNorm(min(8, 2 * c), 2 * c)
+        gn0.weight.copy_(_t(params["gn0"]["scale"]))
+        gn0.bias.copy_(_t(params["gn0"]["bias"]))
+        gn1 = nn.GroupNorm(min(8, c), c)
+        gn1.weight.copy_(_t(params["gn1"]["scale"]))
+        gn1.bias.copy_(_t(params["gn1"]["bias"]))
+        up1 = nn.ConvTranspose2d(2 * c, c, 4, 2, 1)
+        up1.weight.copy_(_convt_w(params["up1"]))
+        up1.bias.copy_(_t(params["up1"]["b"]))
+        up2 = nn.ConvTranspose2d(c, 1, 4, 2, 1)
+        up2.weight.copy_(_convt_w(params["up2"]))
+        up2.bias.copy_(_t(params["up2"]["b"]))
+
+        # jax side reshapes [B,7,7,2C] (NHWC); torch works in NCHW.
+        h = fc(_t(z)).view(4, 7, 7, 2 * c).permute(0, 3, 1, 2)
+        h = torch.relu(gn0(h))
+        h = torch.relu(gn1(up1(h)))
+        out = torch.sigmoid(up2(h))
+        theirs = out.permute(0, 2, 3, 1).reshape(4, -1).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=RTOL, atol=ATOL)
+
+
+def test_groupnorm_matches_torch():
+    params = {"scale": jnp.linspace(0.5, 1.5, 16),
+              "bias": jnp.linspace(-0.2, 0.2, 16)}
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(0), (3, 7, 7, 16)))
+    ours = np.asarray(conv.gn_apply(jax.tree.map(jnp.asarray, params),
+                                    jnp.asarray(x)))
+    with torch.no_grad():
+        gn = nn.GroupNorm(8, 16, eps=conv._GN_EPS)
+        gn.weight.copy_(_t(params["scale"]))
+        gn.bias.copy_(_t(params["bias"]))
+        theirs = gn(_t(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=RTOL, atol=ATOL)
