@@ -269,6 +269,11 @@ def main():
             # a full MLP run defines the page's provenance
             with open(META_PATH, "w") as f:
                 json.dump({"steps": args.steps}, f)
+        elif os.path.isfile(META_PATH):
+            # partial or conv run: the page's step caption must keep
+            # describing the committed MLP artifacts, not this run
+            with open(META_PATH) as f:
+                md_steps = json.load(f)["steps"]
 
     # the page always lists every registered variant; rows without
     # artifacts on disk are skipped inside write_gallery_md

@@ -1,0 +1,91 @@
+"""Seed-variance quantification for the quality tables.
+
+The quality tables (docs/gallery.md) are one-seed measurements with a
+noted caveat. This script re-runs selected variants at several seeds
+and reports mean ± spread for IS and FID, so the headline claims carry
+error bars instead of a disclaimer.
+
+    python benchmarks/quality_variance.py [--variants cgan nsgan]
+        [--arch conv] [--seeds 0 1 2] [--steps 6000]
+
+Writes benchmarks/quality_variance.json (rows keyed variant+arch).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", nargs="*", default=["cgan", "nsgan"])
+    ap.add_argument("--arch", default="mlp", choices=("mlp", "conv"))
+    ap.add_argument("--seeds", nargs="*", type=int, default=[0, 1, 2])
+    ap.add_argument("--steps", type=int, default=6000)
+    ap.add_argument("--scan", type=int, default=1000)
+    ap.add_argument("--n", type=int, default=2048)
+    args = ap.parse_args()
+
+    import numpy as np
+
+    from generative_models_tpu.config import variant_config
+    from generative_models_tpu.data.mnist import load_mnist, to_flat_float
+    from generative_models_tpu.losses.registry import get_variant  # noqa: F401
+    from generative_models_tpu.train.trainer import Trainer
+    from generative_models_tpu.utils.quality import (
+        fid_score, score_samples, train_classifier,
+    )
+
+    raw = load_mnist(allow_synthetic=True, synthetic_sizes=(12000, 2000))
+    flat = to_flat_float(raw)
+    clf = train_classifier(flat["x_train"], flat["y_train"])
+    real_ref = flat["x_test"][:args.n]
+
+    rows = []
+    for variant in args.variants:
+        per_seed = []
+        for seed in args.seeds:
+            cfg = variant_config(variant, scan_steps=args.scan, seed=seed,
+                                 arch=args.arch)
+            t = Trainer(config=cfg, data=raw)
+            t.train(steps=args.steps, sample_every=-1)
+            s = t.sample(args.n)
+            sc = score_samples(clf, s)
+            sc["fid"] = fid_score(clf, real_ref, s)
+            per_seed.append(sc)
+            print(json.dumps({"variant": variant, "arch": args.arch,
+                              "seed": seed,
+                              **{k: round(v, 4) for k, v in sc.items()}}),
+                  flush=True)
+        row = {"variant": variant, "arch": args.arch, "steps": args.steps,
+               "seeds": args.seeds}
+        for key in ("is_score", "fid"):
+            vals = np.array([s[key] for s in per_seed])
+            row[key + "_mean"] = round(float(vals.mean()), 4)
+            row[key + "_min"] = round(float(vals.min()), 4)
+            row[key + "_max"] = round(float(vals.max()), 4)
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "quality_variance.json")
+    existing = []
+    if os.path.isfile(out):
+        with open(out) as f:
+            existing = json.load(f)
+    merged = {(r["variant"], r.get("arch", "mlp")): r for r in existing}
+    merged.update({(r["variant"], r["arch"]): r for r in rows})
+    with open(out, "w") as f:
+        json.dump(sorted(merged.values(),
+                         key=lambda r: (r["variant"], r["arch"])), f,
+                  indent=1)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
