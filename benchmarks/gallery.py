@@ -110,17 +110,22 @@ def conv_quality_section() -> str:
     Empty string if no conv results exist."""
     conv = _load_rows(os.path.join("benchmarks", "quality_results_conv.json"))
     mlp6 = _load_rows(os.path.join("benchmarks", "quality_results_6k.json"))
+    conv20 = _load_rows(os.path.join("benchmarks",
+                                     "quality_results_conv_20k.json"))
+    mlp20 = _load_rows(os.path.join("benchmarks", "quality_results.json"))
     conv = {v: r for v, r in conv.items() if v != "REAL-DATA"}
     if not conv:
         return ""
     label = {"fgan": "fgan (JS)"}
-    order = sorted(conv, key=lambda v: -conv[v]["is_score"])
+    order = sorted(conv, key=lambda v: -(
+        conv20.get(v, conv[v])["is_score"] if conv20 else
+        conv[v]["is_score"]))
     lines = [
         "## Architecture comparison: `--arch conv` (DCGAN-style) vs the "
         "MLP stack",
         "",
-        "Same loss heads, same registry hyperparameters, same 6k-step",
-        "budget and scorer — only `Config.arch` differs "
+        "Same loss heads, same registry hyperparameters, same budgets",
+        "and scorer — only `Config.arch` differs "
         "(models/conv.py; docs/design.md §8).",
         "",
     ]
@@ -130,8 +135,13 @@ def conv_quality_section() -> str:
             for v in conv)
 
     has_grids, has_losses = _have("samples"), _have("loss")
+    has20 = bool(conv20)
     head = "| variant | IS conv @6k | IS mlp @6k | FID conv @6k | FID mlp @6k |"
     sep = "|---|---|---|---|---|"
+    if has20:
+        head = ("| variant | IS conv @6k | IS conv @20k | IS mlp @20k "
+                "| FID conv @20k | FID mlp @20k |")
+        sep = "|---|---|---|---|---|---|"
     if has_grids:
         head += " conv samples |"
         sep += "---|"
@@ -141,9 +151,16 @@ def conv_quality_section() -> str:
     lines += [head, sep]
     for v in order:
         c, m = conv[v], mlp6.get(v, {})
-        row = (f"| {label.get(v, v)} | {c['is_score']} "
-               f"| {m.get('is_score', '—')} | {c.get('fid', '—')} "
-               f"| {m.get('fid', '—')} |")
+        if has20:
+            c20, m20 = conv20.get(v, {}), mlp20.get(v, {})
+            row = (f"| {label.get(v, v)} | {c['is_score']} "
+                   f"| {c20.get('is_score', '—')} "
+                   f"| {m20.get('is_score', '—')} "
+                   f"| {c20.get('fid', '—')} | {m20.get('fid', '—')} |")
+        else:
+            row = (f"| {label.get(v, v)} | {c['is_score']} "
+                   f"| {m.get('is_score', '—')} | {c.get('fid', '—')} "
+                   f"| {m.get('fid', '—')} |")
         for kind, on in (("samples", has_grids), ("loss", has_losses)):
             if on:
                 png = f"{v}_conv_{kind}.png"
