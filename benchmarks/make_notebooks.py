@@ -111,6 +111,76 @@ show_grid(np.asarray(imgs), "columns cycle the categorical code",
           n=80, cols=cfg.info_cat_dim)'''
 
 
+CONV_MD = '''\
+# The second architecture: DCGAN-style conv stacks (`--arch conv`)
+
+The reference zoo is MLP-only. This framework adds a convolutional
+architecture (NHWC convs on the MXU, GroupNorm generator, norm-free
+critic — `models/conv.py`, design notes in `docs/design.md` §8) that
+every one of the 14 loss heads runs on unchanged, selected by ONE
+config knob. Measured at identical hyperparameters it beats the MLP
+stack on 12/14 variants; the structured-latent pair jumps a tier
+(CGAN FID halves, InfoGAN IS 5.4→8.4 at 20k — full two-budget table in
+`docs/gallery.md`).
+
+This notebook shows the two showcase variants live: conditional CGAN
+sampling and the InfoGAN categorical code sweep, both on conv.'''
+
+CONV_SETUP = '''\
+import os
+os.chdir({root!r})
+
+import numpy as np
+import matplotlib.pyplot as plt
+
+from generative_models_tpu.config import variant_config
+from generative_models_tpu.train.trainer import Trainer
+
+STEPS = int(os.environ.get("GMTPU_NB_STEPS", "2000"))
+cfg = variant_config("cgan", arch="conv", scan_steps=min(500, STEPS),
+                     seed=0)
+cfg'''
+
+CONV_INFOGAN = '''\
+# InfoGAN on conv: sweep the 10-way categorical code with z fixed per
+# row — a column consistently renders one digit identity (the MI bound
+# binding code to class, learned without labels; the code->digit
+# assignment is an arbitrary permutation).
+import jax
+import jax.numpy as jnp
+from generative_models_tpu.models import nets
+
+icfg = variant_config("infogan", arch="conv",
+                      scan_steps=min(500, STEPS), seed=0)
+it = Trainer(config=icfg)
+it.train(steps=STEPS, echo_every=0)
+rows = 8
+z = jnp.repeat(jax.random.normal(jax.random.PRNGKey(0),
+                                 (rows, 1, icfg.z_dim)),
+               icfg.info_cat_dim, axis=1).reshape(-1, icfg.z_dim)
+cat = jnp.tile(jnp.arange(icfg.info_cat_dim), (rows,))
+imgs = nets.infogan_g_apply(
+    it.generator_params, z, jax.nn.one_hot(cat, icfg.info_cat_dim),
+    jnp.zeros((len(cat), icfg.info_cont_dim)), icfg)
+show_grid(np.asarray(imgs), "columns sweep the categorical code",
+          n=80, cols=icfg.info_cat_dim)'''
+
+
+def build_conv_showcase() -> nbf.NotebookNode:
+    nb = nbf.v4.new_notebook()
+    nb.metadata["kernelspec"] = {
+        "name": "python3", "display_name": "Python 3", "language": "python"}
+    nb.cells = [
+        nbf.v4.new_markdown_cell(CONV_MD),
+        nbf.v4.new_code_cell(CONV_SETUP.format(root=ROOT)),
+        nbf.v4.new_code_cell(TRAIN),
+        nbf.v4.new_code_cell(GRID.replace("{variant}", "cgan (conv)")),
+        nbf.v4.new_code_cell(CGAN_COND),
+        nbf.v4.new_code_cell(CONV_INFOGAN),
+    ]
+    return nb
+
+
 def doc_markdown(variant: str) -> str:
     path = os.path.join(ROOT, "docs", "variants", f"{variant}.md")
     with open(path) as f:
@@ -156,8 +226,10 @@ def main():
     out_dir = os.path.join(ROOT, "notebooks")
     os.makedirs(out_dir, exist_ok=True)
 
-    for variant in (args.variants or VARIANTS):
-        nb = build_notebook(variant)
+    requested = args.variants or list(VARIANTS) + ["conv_showcase"]
+    for variant in requested:
+        nb = (build_conv_showcase() if variant == "conv_showcase"
+              else build_notebook(variant))
         path = os.path.join(out_dir, f"{variant}.ipynb")
         if args.execute:
             from nbclient import NotebookClient
