@@ -82,6 +82,16 @@ class Config:
     # Training"). Training math is untouched: the EMA never feeds back
     # into gradients.
     ema_decay: float = 0.0
+    # Spectral weight projection on the critic (ops/spectral.py):
+    # after every critic update, project each weight matrix onto the
+    # sigma <= sn_target ball (power iteration, deterministic start,
+    # in-trace). Composable with every variant through the same d_post
+    # slot WGAN's clip uses. OFF by default (reference parity);
+    # measured motivation and ablation in docs/gallery.md (the conv
+    # late-horizon mode dropping that EMA does not fix).
+    spectral_projection: bool = False
+    sn_target: float = 1.0
+    sn_iters: int = 10
     wgan_clip: float = 0.01        # Arjovsky 2017: clip critic to ±0.01
     gp_lambda: float = 10.0        # Gulrajani 2017 / Kodali 2017: λ = 10
     dragan_noise_scale: float = 0.5  # TO-VERIFY: x̂ = x + 0.5·std(x)·U(0,1)

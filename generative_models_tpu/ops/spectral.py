@@ -1,0 +1,94 @@
+"""Spectral weight projection — a Lipschitz mechanism composable with
+every variant (`Config.spectral_projection`).
+
+Motivation, measured in this repo (docs/gallery.md analysis): on the
+conv stacks the unregularized objectives (ragan, lsgan, nsgan family)
+mode-drop between 6k and 20k steps while every penalty-based variant
+keeps improving, and generator EMA does NOT rescue them. The missing
+ingredient is a Lipschitz constraint on the critic; this module
+provides it as a weight-space projection applied through the trainer's
+existing `d_post` hook (the same slot WGAN's clip uses), so it
+composes with any loss head and both architectures without touching
+them.
+
+Mechanism: after each critic update, every weight matrix W (conv
+kernels reshaped [kh*kw*cin, cout]) is scaled by
+1 / max(1, sigma(W)/target) — i.e. projected onto the spectral-norm
+ball of radius `sn_target`. sigma is the top singular value from a
+fixed number of power iterations with a DETERMINISTIC start vector
+(no carried state, no RNG: the projection is a pure function, so the
+step stays a pure scannable function and checkpoints carry nothing
+extra). This is the projection variant of spectral normalization —
+Miyato et al. 2018 reparameterize the forward pass instead; the
+projection form enforces the same constraint on the weights the next
+forward uses while fitting a pure-pytree design. Power iteration from
+a fixed start converges geometrically in the singular-value-gap ratio;
+fresh-start estimation needs more iterations than Miyato's amortized
+single step (random Gaussian matrices have tight gaps) — the default
+50 lands within ~1e-4 of SVD at these sizes (unit-tested).
+
+Cost (measured, one chip): the projection is an inherently
+sequential matvec chain per weight. First implementation with
+lax.scan(50): 8.5x end-to-end at the MLP headline (34.0k -> 4.0k
+steps/s). Unrolled at the default 10 iterations: MLP headline
+34.1k -> 14.0k steps/s (-59%: the ~40 us chain dominates a ~29 us
+dispatch-bound step) and conv 3.65k -> 2.93k (-20%). Quality effect
+at the same setting: rescues the conv late-horizon mode dropping
+(ragan IS 3.26 -> 5.63, lsgan 4.43 -> 5.25 with FID 62 -> 15 at 20k;
+EMA had NOT rescued them — docs/gallery.md analysis). OFF by default:
+it is a quality/stability knob priced honestly, not a freebie.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-12
+
+
+def spectral_sigma(w, iters: int = 10):
+    """Top singular value of a 2-D matrix via power iteration with a
+    deterministic start (ones / sqrt(n)).
+
+    UNROLLED (Python loop, trace-time) rather than lax.scan: inside the
+    already-scanned train step a nested scan of tiny matvecs is pure
+    sequential-dispatch latency — the first implementation used
+    scan(50) and cost 8.5x on the MLP headline (34.0k -> 4.0k steps/s,
+    measured); unrolling lets XLA schedule the chain tightly. 10
+    fresh-start iterations track SVD within a few percent on these
+    sizes — ample for a projection re-applied EVERY critic step (the
+    constraint is enforced in the limit, errors do not accumulate);
+    pass iters=50 for 1e-4-grade estimates (unit-tested)."""
+    m = w.reshape(w.shape[0], -1) if w.ndim != 2 else w
+    n = m.shape[1]
+    v = jnp.full((n,), 1.0 / jnp.sqrt(jnp.float32(n)), m.dtype)
+    for _ in range(iters):
+        u = m @ v
+        u = u / (jnp.linalg.norm(u) + _EPS)
+        v = m.T @ u
+        v = v / (jnp.linalg.norm(v) + _EPS)
+    return jnp.linalg.norm(m @ v)
+
+
+def _project_leaf(w, target: float, iters: int):
+    """Scale w onto the sigma <= target ball. Conv kernels
+    [kh, kw, cin, cout] are treated as [kh*kw*cin, cout] (the standard
+    reshaped-SN convention)."""
+    m = w.reshape(-1, w.shape[-1])
+    sigma = spectral_sigma(m, iters)
+    scale = 1.0 / jnp.maximum(1.0, sigma / target)
+    return w * scale
+
+
+def project_spectral(params, target: float = 1.0, iters: int = 10):
+    """Project every weight leaf (dict key "w", ndim >= 2) of a critic
+    param pytree onto the spectral ball; biases and norm scales pass
+    through untouched."""
+    def visit(path, leaf):
+        last = path[-1]
+        is_w = (isinstance(last, jax.tree_util.DictKey)
+                and last.key == "w" and leaf.ndim >= 2)
+        return _project_leaf(leaf, target, iters) if is_w else leaf
+
+    return jax.tree_util.tree_map_with_path(visit, params)

@@ -146,6 +146,10 @@ def build_adversarial_step(spec: AdversarialSpec, cfg: Config,
             updates, d_opt = d_tx.update(grads, d_opt, d_params)
             d_params = optax.apply_updates(d_params, updates)
             d_params = spec.d_post(d_params, cfg)
+            if cfg.spectral_projection:  # static flag: trace-time branch
+                from generative_models_tpu.ops.spectral import project_spectral
+                d_params = project_spectral(d_params, cfg.sn_target,
+                                            cfg.sn_iters)
             vstate = spec.d_state_update(vstate, metrics, cfg)
             return (d_params, d_opt, vstate), metrics
 
