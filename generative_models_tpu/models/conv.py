@@ -151,10 +151,12 @@ def _flat(x):
 def generator_init(rng, cfg, in_dim=None, norm: bool = True):
     """`norm=False` omits the GroupNorms — used for the BEGAN AE-critic
     decoder to match the paper's norm-free autoencoder (Berthelot 2017
-    uses plain ELU convs). Measured honestly: BEGAN-conv collapses at
-    this budget with OR without decoder norm (8 γ/lr settings swept;
-    norm-free is kept for paper fidelity and its somewhat better FID
-    220 vs 289 — docs/gallery.md analysis)."""
+    uses plain ELU convs). Measured: BEGAN-conv collapses at this
+    budget with OR without decoder norm at every γ/lr tried (8
+    settings); what fixes it is holding the critic's Lipschitz
+    constant in a band — `--spectral-projection --sn-target 2.0`
+    trains it to IS 4.78 / FID 15.1 at 20k (docs/gallery.md
+    analysis). Norm-free is kept for paper fidelity."""
     in_dim = cfg.z_dim if in_dim is None else in_dim
     c = cfg.conv_channels
     r = jax.random.split(rng, 4)
