@@ -171,7 +171,10 @@ def conv_quality_section() -> str:
     lines += [
         "",
         "Regenerate: `python benchmarks/quality_sweep.py --steps 6000 "
-        "--arch conv`.",
+        "--arch conv` (6k column / default conv file)"
+        + ("; the 20k columns come from `--steps 20000 --arch conv "
+           "--out benchmarks/quality_results_conv_20k.json` and the "
+           "MLP-20k sweep (`--steps 20000`)." if has20 else "."),
         "",
     ]
     return "\n".join(lines)

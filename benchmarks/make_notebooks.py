@@ -119,7 +119,7 @@ architecture (NHWC convs on the MXU, GroupNorm generator, norm-free
 critic — `models/conv.py`, design notes in `docs/design.md` §8) that
 every one of the 14 loss heads runs on unchanged, selected by ONE
 config knob. Measured at identical hyperparameters it beats the MLP
-stack on 12/14 variants; the structured-latent pair jumps a tier
+stack on 11/14 variants; the structured-latent pair jumps a tier
 (CGAN FID halves, InfoGAN IS 5.4→8.4 at 20k — full two-budget table in
 `docs/gallery.md`).
 

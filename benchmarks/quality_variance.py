@@ -35,7 +35,6 @@ def main():
 
     from generative_models_tpu.config import variant_config
     from generative_models_tpu.data.mnist import load_mnist, to_flat_float
-    from generative_models_tpu.losses.registry import get_variant  # noqa: F401
     from generative_models_tpu.train.trainer import Trainer
     from generative_models_tpu.utils.quality import (
         fid_score, score_samples, train_classifier,
@@ -77,13 +76,17 @@ def main():
     existing = []
     if os.path.isfile(out):
         with open(out) as f:
-            existing = json.load(f)
+            data = json.load(f)
+        # accept the pre-schema-fix bare-list form too
+        existing = data["rows"] if isinstance(data, dict) else data
     merged = {(r["variant"], r.get("arch", "mlp")): r for r in existing}
     merged.update({(r["variant"], r["arch"]): r for r in rows})
     with open(out, "w") as f:
-        json.dump(sorted(merged.values(),
-                         key=lambda r: (r["variant"], r["arch"])), f,
-                  indent=1)
+        # same {"rows": [...]} envelope as the sibling quality files
+        # (gallery.py's _load_rows convention)
+        json.dump({"rows": sorted(merged.values(),
+                                  key=lambda r: (r["variant"], r["arch"]))},
+                  f, indent=1)
     print(f"wrote {out}")
 
 

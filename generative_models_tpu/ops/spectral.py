@@ -60,7 +60,11 @@ def spectral_sigma(w, iters: int = 10):
     sizes — ample for a projection re-applied EVERY critic step (the
     constraint is enforced in the limit, errors do not accumulate);
     pass iters=50 for 1e-4-grade estimates (unit-tested)."""
-    m = w.reshape(w.shape[0], -1) if w.ndim != 2 else w
+    # non-2D inputs matricize over the LAST axis ([... , cout] ->
+    # [prod(...), cout]) — the same reshaped-SN convention
+    # _project_leaf enforces, so a direct call on a conv kernel
+    # measures the norm the projection constrains
+    m = w.reshape(-1, w.shape[-1]) if w.ndim != 2 else w
     n = m.shape[1]
     v = jnp.full((n,), 1.0 / jnp.sqrt(jnp.float32(n)), m.dtype)
     for _ in range(iters):

@@ -111,6 +111,15 @@ def build_adversarial_step(spec: AdversarialSpec, cfg: Config,
     independent per shard."""
     g_tx = make_tx(cfg, cfg.g_lr)
     d_tx = make_tx(cfg, cfg.d_lr)
+    # compose the optional spectral projection into the variant's
+    # d_post slot (the same hook WGAN's clip occupies), so every step
+    # builder that honors d_post gets the constraint for free
+    d_post = spec.d_post
+    if cfg.spectral_projection:
+        from generative_models_tpu.ops.spectral import project_spectral
+
+        def d_post(p, c, _base=spec.d_post):
+            return project_spectral(_base(p, c), c.sn_target, c.sn_iters)
     d_loss_fn, g_loss_fn = spec.d_loss, spec.g_loss
     if spec.batch_coupled and axis_name is not None:
         # batch-statistic-coupled losses pmean their statistics over the
@@ -145,11 +154,7 @@ def build_adversarial_step(spec: AdversarialSpec, cfg: Config,
             grads, metrics = reduce_((grads, metrics))
             updates, d_opt = d_tx.update(grads, d_opt, d_params)
             d_params = optax.apply_updates(d_params, updates)
-            d_params = spec.d_post(d_params, cfg)
-            if cfg.spectral_projection:  # static flag: trace-time branch
-                from generative_models_tpu.ops.spectral import project_spectral
-                d_params = project_spectral(d_params, cfg.sn_target,
-                                            cfg.sn_iters)
+            d_params = d_post(d_params, cfg)
             vstate = spec.d_state_update(vstate, metrics, cfg)
             return (d_params, d_opt, vstate), metrics
 
