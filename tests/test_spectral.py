@@ -64,6 +64,21 @@ def test_trainer_projects_critic_only(tiny_data):
     assert _max_sigma(t.state["g_params"]) > 1.0
 
 
+def test_composes_with_ema_and_conv(tiny_data):
+    """All three cross-cutting mechanisms at once on the conv stacks:
+    spectral projection (d_post), generator EMA (carried state), and
+    the conv architecture — the framework's hooks must not interfere."""
+    cfg = tiny_cfg("nsgan", spectral_projection=True, ema_decay=0.99,
+                   arch="conv", conv_channels=4, latent_dim=4)
+    t = Trainer(config=cfg, data=tiny_data)
+    hist = t.train(steps=4)
+    assert np.all(np.isfinite(hist["d_loss"]))
+    assert _max_sigma(t.state["d_params"]) <= 1.0 + 0.06
+    assert "g_ema" in t.state  # EMA carried alongside the projection
+    imgs = t.sample(4)         # samples from the EMA weights
+    assert np.isfinite(imgs).all()
+
+
 def test_composes_with_wgan_clip(tiny_data):
     cfg = tiny_cfg("wgan", spectral_projection=True, d_steps=2)
     t = Trainer(config=cfg, data=tiny_data)
