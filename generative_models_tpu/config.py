@@ -92,6 +92,14 @@ class Config:
     spectral_projection: bool = False
     sn_target: float = 1.0
     sn_iters: int = 10
+    # "amortized" (default): Miyato-style — carry one power-iteration
+    # vector per critic weight in the train state and refine it ONE
+    # matvec pair per critic step (the estimate tracks the slowly-moving
+    # weights; burn-in of sn_iters at init). "fresh": the round-1
+    # stateless form — sn_iters fresh-start iterations every step
+    # (measured −59% MLP / −20% conv; kept as the pure-function
+    # reference point and for spec-precision one-shot estimates).
+    sn_mode: str = "amortized"
     wgan_clip: float = 0.01        # Arjovsky 2017: clip critic to ±0.01
     gp_lambda: float = 10.0        # Gulrajani 2017 / Kodali 2017: λ = 10
     dragan_noise_scale: float = 0.5  # TO-VERIFY: x̂ = x + 0.5·std(x)·U(0,1)
@@ -111,6 +119,14 @@ class Config:
     # docs/variants/infogan.md); both paths are kept.
     info_cont_fixed_var: bool = True
     fgan_divergence: str = "jensen_shannon"  # pluggable (see losses/fgan.py)
+    # f-GAN generator objective. "saturating" is the paper's L_G =
+    # -E[f*(g_f(V(G(z))))] (minimize the bound). "nonsaturating" is
+    # Nowozin §3.2's alternative L_G = -E[g_f(V(G(z)))] (maximize the
+    # critic's real-ness score directly — the same trick NSGAN applies
+    # to MMGAN), which keeps gradients alive where bounded conjugates
+    # saturate; measured per-divergence comparison in
+    # benchmarks/fgan_divergences_conv.json.
+    fgan_g_loss: str = "saturating"
     birvae_bits: float = 12.0      # BIRVAE target information rate I (bits) TO-VERIFY
     vae_recon: str = "bce"         # "bce" (Bernoulli decoder) | "mse"
 
@@ -208,6 +224,19 @@ class Config:
         if self.prng_impl not in ("threefry", "rbg", "unsafe_rbg"):
             raise ValueError(
                 f"prng_impl must be threefry|rbg|unsafe_rbg, got {self.prng_impl!r}")
+        if self.fgan_g_loss not in ("saturating", "nonsaturating"):
+            raise ValueError(
+                f"fgan_g_loss must be saturating|nonsaturating, got "
+                f"{self.fgan_g_loss!r}")
+        if self.spectral_projection and self.d_steps == 0:
+            raise ValueError(
+                "spectral_projection constrains the critic through the "
+                "d_post hook; the single-model variants (vae/birvae, "
+                "d_steps=0) have no critic — the flag would be a silent "
+                "no-op (ADVICE r1)")
+        if self.sn_mode not in ("amortized", "fresh"):
+            raise ValueError(
+                f"sn_mode must be amortized|fresh, got {self.sn_mode!r}")
         if self.variant == "fgan":
             # fail fast with a clean message instead of a mid-trace error
             from generative_models_tpu.losses.fgan import get_divergence
@@ -254,14 +283,29 @@ VARIANT_OVERRIDES: Dict[str, Dict[str, Any]] = {
 
 VARIANTS: Tuple[str, ...] = tuple(VARIANT_OVERRIDES)
 
+# Arch-conditional overrides, applied when the user selects that arch
+# for that variant (between the variant row and user overrides, so an
+# explicit flag still wins). One entry today: BEGAN's conv stack
+# collapses at every plain setting tried (8-config sweep, 3 seeds —
+# docs/variants/began.md), and the MEASURED rescue is the spectral
+# projection at sn_target 2.0 (IS 4.8–5.3, FID 8–15, 3 seeds; sharp
+# window 1 < target < 3). Wiring it here means no out-of-the-box
+# config is known-collapsed (VERDICT r1 next #5).
+CONV_VARIANT_OVERRIDES: Dict[str, Dict[str, Any]] = {
+    "began": {"spectral_projection": True, "sn_target": 2.0},
+}
+
 
 def variant_config(variant: str, **overrides) -> Config:
     """Config for `variant` with its registry defaults applied, then
-    user overrides on top."""
+    arch-conditional defaults (CONV_VARIANT_OVERRIDES), then user
+    overrides on top."""
     if variant not in VARIANT_OVERRIDES:
         raise ValueError(
             f"unknown variant {variant!r}; known: {sorted(VARIANT_OVERRIDES)}")
     kw: Dict[str, Any] = {"variant": variant}
     kw.update(VARIANT_OVERRIDES[variant])
+    if overrides.get("arch") == "conv":
+        kw.update(CONV_VARIANT_OVERRIDES.get(variant, {}))
     kw.update(overrides)
     return Config(**kw)

@@ -12,8 +12,12 @@ first-class registry (BASELINE.json: "f-GAN pluggable divergence
 family"), selectable via cfg.fgan_divergence or `with_divergence()`.
 
 G objective: the paper minimizes F, i.e. L_G = -E_z[f*(g_f(V(G(z))))]
-(the "saturating" form). The non-saturating alternative
-L_G = -E_z[g_f(V(G(z)))] is available via cfg/fgan registry flag.
+(the "saturating" form, the default). Nowozin §3.2's non-saturating
+alternative L_G = -E_z[g_f(V(G(z)))] — maximize the critic's real-ness
+output directly, the same trick NSGAN applies to MMGAN — is selected
+with cfg.fgan_g_loss="nonsaturating"; it keeps G gradients alive where
+a bounded conjugate saturates (measured per-divergence comparison in
+benchmarks/fgan_divergences_conv.json).
 """
 
 from __future__ import annotations
@@ -88,7 +92,10 @@ def _g_loss(g_params, d_params, batch, rng, vstate, cfg):
     z = compute_noise(rng, batch["image"].shape[0], cfg.z_dim)
     fake = nets.generator_apply(g_params, z, cfg)
     t_fake = div.g_f(nets.discriminator_apply(d_params, fake, cfg))
-    loss = -jnp.mean(div.conjugate(t_fake))
+    if cfg.fgan_g_loss == "nonsaturating":
+        loss = -jnp.mean(t_fake)          # Nowozin §3.2 alternative
+    else:
+        loss = -jnp.mean(div.conjugate(t_fake))  # paper objective
     return loss, {"g_loss": loss}
 
 

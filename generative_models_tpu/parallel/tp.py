@@ -143,6 +143,8 @@ def state_pspecs(spec, cfg: Config, state) -> Any:
         }
         if "g_ema" in state:  # EMA weights shard exactly like g_params
             out["g_ema"] = g_ps
+        if "sn_v" in state:  # amortized-SN vectors: [cout]-sized, tiny
+            out["sn_v"] = jax.tree.map(lambda _: rep, state["sn_v"])
         return out
     ps = params_pspecs(state["params"], cfg.tp)
     out = {

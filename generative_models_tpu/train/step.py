@@ -54,6 +54,11 @@ def init_adversarial_state(spec: AdversarialSpec, cfg: Config, rng) -> State:
     }
     if cfg.ema_decay > 0:
         st["g_ema"] = g_params  # EMA starts at the init point
+    if cfg.spectral_projection and cfg.sn_mode == "amortized":
+        # carried per-weight power-iteration vectors (ops/spectral.py),
+        # burned in at the init weights
+        from generative_models_tpu.ops.spectral import init_sn_vectors
+        st["sn_v"] = init_sn_vectors(d_params, cfg.sn_iters)
     return st
 
 
@@ -111,11 +116,19 @@ def build_adversarial_step(spec: AdversarialSpec, cfg: Config,
     independent per shard."""
     g_tx = make_tx(cfg, cfg.g_lr)
     d_tx = make_tx(cfg, cfg.d_lr)
-    # compose the optional spectral projection into the variant's
+    # compose the optional spectral projection after the variant's
     # d_post slot (the same hook WGAN's clip occupies), so every step
-    # builder that honors d_post gets the constraint for free
+    # builder that honors d_post gets the constraint for free.
+    # sn_mode="amortized" carries per-weight power-iteration vectors
+    # (state["sn_v"]) through the critic scan — stateful, so it is
+    # threaded explicitly rather than composed into the stateless hook.
     d_post = spec.d_post
-    if cfg.spectral_projection:
+    amortized_sn = cfg.spectral_projection and cfg.sn_mode == "amortized"
+    if amortized_sn:
+        from generative_models_tpu.ops.spectral import (
+            project_spectral_amortized,
+        )
+    elif cfg.spectral_projection:
         from generative_models_tpu.ops.spectral import project_spectral
 
         def d_post(p, c, _base=spec.d_post):
@@ -147,7 +160,10 @@ def build_adversarial_step(spec: AdversarialSpec, cfg: Config,
         g_params = state["g_params"]
 
         def d_body(carry, inp):
-            d_params, d_opt, vstate = carry
+            if amortized_sn:
+                d_params, d_opt, vstate, sn_v = carry
+            else:
+                d_params, d_opt, vstate = carry
             batch, r = inp
             (_, metrics), grads = d_grad(
                 d_params, g_params, batch, shard_rng(r), vstate, cfg)
@@ -156,13 +172,18 @@ def build_adversarial_step(spec: AdversarialSpec, cfg: Config,
             d_params = optax.apply_updates(d_params, updates)
             d_params = d_post(d_params, cfg)
             vstate = spec.d_state_update(vstate, metrics, cfg)
+            if amortized_sn:
+                d_params, sn_v = project_spectral_amortized(
+                    d_params, sn_v, cfg.sn_target)
+                return (d_params, d_opt, vstate, sn_v), metrics
             return (d_params, d_opt, vstate), metrics
 
-        (d_params, d_opt, vstate), d_metrics_seq = jax.lax.scan(
-            d_body,
-            (state["d_params"], state["d_opt"], state["vstate"]),
-            (d_batches, d_rngs),
-        )
+        d_carry = (state["d_params"], state["d_opt"], state["vstate"])
+        if amortized_sn:
+            d_carry = d_carry + (state["sn_v"],)
+        d_carry, d_metrics_seq = jax.lax.scan(
+            d_body, d_carry, (d_batches, d_rngs))
+        d_params, d_opt, vstate = d_carry[:3]
         d_metrics = jax.tree.map(lambda a: a[-1], d_metrics_seq)
 
         g_batch = jax.tree.map(lambda a: a[-1], d_batches)
@@ -188,6 +209,8 @@ def build_adversarial_step(spec: AdversarialSpec, cfg: Config,
         if cfg.ema_decay > 0:  # static: traced once per config
             new_state["g_ema"] = _ema_update(
                 state["g_ema"], new_g_params, cfg.ema_decay)
+        if amortized_sn:
+            new_state["sn_v"] = d_carry[3]
         metrics = {**d_metrics, **g_metrics}
         for k, v in vstate.items():
             metrics[f"vstate_{k}"] = v

@@ -157,6 +157,10 @@ class Trainer:
 
     def _build_fns(self):
         cfg = self.cfg
+        # drop the cached eval closure: it closes over cfg/params layout
+        # at build time, so any rebuild must invalidate it (VERDICT r1
+        # weak #4 — stale-closure trap for future cfg-mutating paths)
+        self.__dict__.pop("_eval_fn", None)
         nb = step_lib.batches_per_step(self.spec, cfg)
         self.rows_per_step = nb * cfg.batch_size
         self.steps_per_epoch = self.x_train.shape[0] // self.rows_per_step

@@ -186,7 +186,7 @@ def test_conv_loss_is_batch_decoupled_under_shard_map(monkeypatch):
     (Kept at the loss level: compiling the full scanned conv trainer
     twice costs minutes on the CPU harness — see the module note.)"""
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
 
     from generative_models_tpu.losses import minimax as minimax_mod

@@ -172,3 +172,46 @@ def test_compute_noise_stats():
     z = compute_noise(jax.random.PRNGKey(0), 20000, 4)
     assert abs(float(jnp.mean(z))) < 0.02
     assert abs(float(jnp.std(z)) - 1.0) < 0.02
+
+
+def test_fgan_nonsaturating_g_loss():
+    """cfg.fgan_g_loss="nonsaturating" switches L_G from
+    -E[f*(g_f(V))] to -E[g_f(V)] (Nowozin §3.2); both computed against
+    the registry's own pieces on a pinned fake batch."""
+    import jax
+
+    from generative_models_tpu.config import variant_config
+    from generative_models_tpu.losses import fgan as fgan_mod
+    from generative_models_tpu.losses.fgan import FGAN, get_divergence
+    from generative_models_tpu.models import nets
+
+    # (not total_variation: its conjugate is the identity, so the two
+    # G forms coincide there by construction)
+    for div_name in ("jensen_shannon", "kl"):
+        cfg_sat = variant_config("fgan", fgan_divergence=div_name,
+                                 hidden_dim=16, z_dim=8, batch_size=4)
+        cfg_ns = cfg_sat.replace(fgan_g_loss="nonsaturating")
+        rng = jax.random.PRNGKey(0)
+        g = FGAN.init_g(jax.random.PRNGKey(1), cfg_sat)
+        d = FGAN.init_d(jax.random.PRNGKey(2), cfg_sat)
+        batch = {"image": jax.random.uniform(rng, (4, cfg_sat.image_dim)),
+                 "label": jnp.zeros((4,), jnp.int32)}
+        l_sat, _ = FGAN.g_loss(g, d, batch, rng, {}, cfg_sat)
+        l_ns, _ = FGAN.g_loss(g, d, batch, rng, {}, cfg_ns)
+        # reconstruct both forms directly from the divergence pieces
+        div = get_divergence(div_name)
+        z = fgan_mod.compute_noise(rng, 4, cfg_sat.z_dim)
+        t_fake = div.g_f(nets.discriminator_apply(
+            d, nets.generator_apply(g, z, cfg_sat), cfg_sat))
+        np.testing.assert_allclose(float(l_sat),
+                                   float(-jnp.mean(div.conjugate(t_fake))),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(float(l_ns),
+                                   float(-jnp.mean(t_fake)), rtol=1e-6)
+        assert not np.isclose(float(l_sat), float(l_ns))
+
+
+def test_fgan_g_loss_flag_validated():
+    from generative_models_tpu.config import variant_config
+    with pytest.raises(ValueError, match="fgan_g_loss"):
+        variant_config("fgan", fgan_g_loss="bogus")

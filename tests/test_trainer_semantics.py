@@ -199,3 +199,31 @@ def test_ema_training_math_unchanged(tiny_data):
         t.train(steps=6, sample_every=-1)
         outs.append(jax.tree.map(np.asarray, t.state["g_params"]))
     jax.tree.map(np.testing.assert_array_equal, outs[0], outs[1])
+
+
+def test_began_conv_default_applies_measured_rescue():
+    """VERDICT r1 next #5: out-of-the-box conv BEGAN must not be the
+    known-collapsed config — arch=conv auto-applies the measured
+    spectral rescue (sn_target 2.0), and an explicit user override
+    still wins."""
+    from generative_models_tpu.config import variant_config
+
+    cfg = variant_config("began", arch="conv")
+    assert cfg.spectral_projection and cfg.sn_target == 2.0
+    # MLP BEGAN unchanged
+    assert not variant_config("began").spectral_projection
+    # explicit override beats the arch-conditional default
+    cfg2 = variant_config("began", arch="conv", spectral_projection=False)
+    assert not cfg2.spectral_projection
+
+
+def test_eval_fn_invalidated_on_rebuild(tiny_data):
+    """VERDICT r1 weak #4: the cached eval closure must be dropped by
+    _build_fns so cfg-mutating rebuilds can't serve a stale eval."""
+    t = Trainer(config=tiny_cfg("vae", val_size=40), data=tiny_data)
+    t.train(steps=2)
+    t.evaluate("val")
+    assert hasattr(t, "_eval_fn")
+    t._rebuild_optimizers()
+    assert not hasattr(t, "_eval_fn")
+    t.evaluate("val")  # rebuilds cleanly
