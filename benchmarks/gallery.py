@@ -274,8 +274,12 @@ def main():
         os.makedirs(GALLERY_DIR, exist_ok=True)
         suffix = "_conv" if args.arch == "conv" else ""
         for variant in variants:
+            # conv runs keep their per-epoch frames in runs_conv/ so
+            # make_gifs --suffix _conv can stitch conv GIFs without
+            # clobbering the MLP runs/ frames
             cfg = variant_config(variant, batch_size=100,
-                                 scan_steps=1000, seed=0, arch=args.arch)
+                                 scan_steps=1000, seed=0, arch=args.arch,
+                                 out_dir="runs_conv" if suffix else "runs")
             t = Trainer(config=cfg, data=data)
             t.train(steps=args.steps)
             grid = save_image_grid(

@@ -8,6 +8,8 @@ GIF89a encoder (utils/gif.py) and patches the GIF row into each
 docs/variants/<variant>.md.
 
 Usage: python benchmarks/make_gifs.py [--runs runs --out docs/gallery]
+Conv GIFs: python benchmarks/make_gifs.py --runs runs_conv --suffix _conv
+(pairs with `gallery.py --arch conv`, which drops frames in runs_conv/).
 """
 
 from __future__ import annotations
@@ -27,6 +29,10 @@ from generative_models_tpu.utils.gif import (  # noqa: E402
 
 GIF_LINE = ("**Training progression** (one frame per epoch):\n\n"
             "![{v} training progression](../gallery/{v}_train.gif)\n")
+GIF_LINE_CONV = ("**Conv training progression** (`--arch conv`, one "
+                 "frame per epoch):\n\n"
+                 "![{v} conv training progression]"
+                 "(../gallery/{v}_conv_train.gif)\n")
 
 
 def main() -> int:
@@ -35,6 +41,9 @@ def main() -> int:
     ap.add_argument("--out", default="docs/gallery")
     ap.add_argument("--docs", default="docs/variants")
     ap.add_argument("--delay-cs", type=int, default=25)
+    ap.add_argument("--suffix", default="",
+                    help="output-name suffix, e.g. _conv for GIFs "
+                         "stitched from a gallery.py --arch conv run")
     ap.add_argument("--max-frames", type=int, default=40,
                     help="subsample long runs to this many frames (>= 2)")
     args = ap.parse_args()
@@ -62,7 +71,7 @@ def main() -> int:
             stride = (len(frames) - 1) / (args.max_frames - 1)
             frames = [frames[round(i * stride)]
                       for i in range(args.max_frames)]
-        out = os.path.join(args.out, f"{v}_train.gif")
+        out = os.path.join(args.out, f"{v}{args.suffix}_train.gif")
         write_gif_gray(out, frames, delay_cs=args.delay_cs)
         made.append(v)
         print(f"{v}: {len(frames)} frames -> {out} "
@@ -71,6 +80,12 @@ def main() -> int:
         doc = os.path.join(args.docs, f"{v}.md")
         if os.path.exists(doc):
             text = open(doc).read()
+            if args.suffix == "_conv":
+                if f"{v}_conv_train.gif" not in text:
+                    text = (text.rstrip() + "\n\n"
+                            + GIF_LINE_CONV.format(v=v))
+                    open(doc, "w").write(text)
+                continue
             block = GIF_LINE.format(v=v)
             if f"{v}_train.gif" not in text:
                 # insert before the samples/loss table if present,

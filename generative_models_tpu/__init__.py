@@ -33,14 +33,23 @@ import os as _os
 
 import jax as _jax
 
-# Persistent XLA/Mosaic compilation cache: first Pallas compile over the
-# TPU tunnel can take minutes; cached recompiles are near-instant.
+# Persistent XLA/Mosaic compilation cache: OPT-IN via
+# GMTPU_COMPILE_CACHE=<dir>. It was on by default through round 1;
+# round 2 root-caused intermittent suite SEGFAULTS to reloading
+# persistent XLA:CPU executables: XLA:CPU AOT-serializes with a
+# machine-feature set that does not match the execution host (the
+# cpu_aot_loader.cc "machine feature mismatch ... could lead to
+# SIGILL" warnings), and reloads crash sporadically — including
+# SAME-session entries on this sandbox's hosts. TPU (Mosaic)
+# executables are not feature-fragile this way, but the cache cannot
+# be scoped per-backend, and any process mixes CPU host computations
+# in. So: off unless explicitly requested for a long-lived TPU
+# workflow, where the first multi-minute Pallas compile amortizes.
 try:
-    _jax.config.update(
-        "jax_compilation_cache_dir",
-        _os.environ.get("GMTPU_COMPILE_CACHE",
-                        _os.path.expanduser("~/.cache/gmtpu_jax_cache")))
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if _os.environ.get("GMTPU_COMPILE_CACHE"):
+        _jax.config.update("jax_compilation_cache_dir",
+                           _os.environ["GMTPU_COMPILE_CACHE"])
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:  # pragma: no cover - cache is best-effort
     pass
 

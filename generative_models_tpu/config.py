@@ -151,6 +151,16 @@ class Config:
     # not guaranteed stable across compiler releases.
     prng_impl: str = "threefry"
     use_pallas: bool = False       # see the measured-default note above
+    # Fused whole-training-chunk kernel (ops/pallas_train.py): ONE
+    # pallas_call runs the entire scan chunk with params + Adam state
+    # VMEM-resident across steps — eliminating the per-step parameter/
+    # optimizer HBM round-trip that bounds the XLA step (~16 MB/step,
+    # step_anatomy's "Adam HBM ≈ speed of light" budget), and the
+    # per-op-kernel crossover loss with it. Flagship scope: nsgan,
+    # mlp, d_steps=1, adam, threefry, single device (the bench
+    # config); the trainer refuses unsupported combinations with the
+    # reason (ops/pallas_train.fused_step_supported).
+    fused_step: bool = False
     # When use_pallas is on: 0 = no batch bound; a positive bound
     # restricts the kernel to batches <= bound.
     pallas_max_batch: int = 0

@@ -13,12 +13,19 @@ hidden activations needed as autodiff residuals are written out.
   multiples (128), zero-filled. Zero-padded weight ROWS make padded
   hidden columns contribute nothing downstream regardless of the
   activation's value at 0, and padded outputs are sliced away.
-- Autodiff: custom_vjp. Forward = this kernel; backward = plain XLA
-  matmuls from the saved per-layer activations (differentiable, so
-  first-order training works everywhere). custom_vjp is NOT
-  forward-mode differentiable, so the gradient-penalty variants
-  (WGAN-GP / DRAGAN), which need grad-of-grad, pin the XLA path via
-  their `needs_second_order` spec flag — see losses/base.py.
+- Autodiff: custom_vjp. Forward = this kernel; backward = a SECOND
+  fused Pallas kernel (round 2, VERDICT r1 next #1) computing every
+  dW/db and dx in one pallas_call — saved activations and weights stay
+  VMEM-resident per batch tile, dW/db accumulate across the
+  (sequential) grid. The round-1 backward was plain XLA matmuls, which
+  left the custom_vjp boundary splitting the step's fusion; with both
+  directions as kernels the boundary encloses the whole fwd+bwd pass.
+  The XLA backward is kept as `_vjp_bwd_xla` (the interpret-mode twin
+  and the refutation baseline for BASELINE.md's crossover table).
+  custom_vjp is NOT forward-mode differentiable, so the
+  gradient-penalty variants (WGAN-GP / DRAGAN), which need
+  grad-of-grad, pin the XLA path via their `needs_second_order` spec
+  flag — see losses/base.py.
 - Every kernel has this XLA twin (models/mlp.mlp_apply's per-layer
   path); tests assert allclose in interpret mode on CPU.
 """
@@ -187,9 +194,9 @@ def _vjp_fwd(layers, x, hidden_act, out_act, slope, compute_dtype_name):
     return out, (layers, x, hiddens, out)
 
 
-def _vjp_bwd(hidden_act, out_act, slope, compute_dtype_name, res, dy):
-    """XLA backward from saved activations — differentiable, fused by
-    XLA into the surrounding step."""
+def _vjp_bwd_xla(hidden_act, out_act, slope, compute_dtype_name, res, dy):
+    """XLA backward from saved activations — the reference twin for the
+    fused backward kernel (and the round-1 default)."""
     layers, x, hiddens, out = res
     n = len(layers)
     inputs = [x] + hiddens            # input to each layer
@@ -209,6 +216,145 @@ def _vjp_bwd(hidden_act, out_act, slope, compute_dtype_name, res, dy):
         if i > 0:
             g = g * _act_deriv_from_out(acts_out[i - 1], acts[i - 1], slope)
     return dlayers, g
+
+
+# ------------------------------------------------------------------
+# Fused backward kernel: all dW/db + dx in ONE pallas_call
+# ------------------------------------------------------------------
+
+def _make_bwd_kernel(n_layers: int, acts: Tuple[str, ...], slope: float,
+                     bf16: bool):
+    def cast(a):
+        return a.astype(jnp.bfloat16) if bf16 else a
+
+    def kernel(*refs):
+        # inputs: x, h1..h_{n-1}, out, dy, W1..Wn
+        # outputs: dW1, db1, ..., dWn, dbn, dx
+        x_ref = refs[0]
+        hid = refs[1:n_layers]
+        out_ref = refs[n_layers]
+        dy_ref = refs[n_layers + 1]
+        ws = refs[n_layers + 2:n_layers + 2 + n_layers]
+        outs = refs[n_layers + 2 + n_layers:]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            for i in range(n_layers):
+                outs[2 * i][:] = jnp.zeros_like(outs[2 * i])
+                outs[2 * i + 1][:] = jnp.zeros_like(outs[2 * i + 1])
+
+        inputs = [x_ref] + list(hid)
+        acts_out = list(hid) + [out_ref]
+        g = dy_ref[:] * _act_deriv_from_out(out_ref[:], acts[-1], slope)
+        for i in range(n_layers - 1, -1, -1):
+            a_in = inputs[i][:]
+            # dW = a_inᵀ g  (contract the batch dim)
+            dw = jax.lax.dot_general(
+                cast(a_in), cast(g), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            outs[2 * i][:] += dw
+            outs[2 * i + 1][:] += jnp.sum(g, axis=0, keepdims=True)
+            # g <- g Wᵀ  (contract the output dim)
+            g = jax.lax.dot_general(
+                cast(g), cast(ws[i][:]), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if i > 0:
+                g = g * _act_deriv_from_out(acts_out[i - 1][:],
+                                            acts[i - 1], slope)
+        outs[2 * n_layers][:] = g
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "acts", "slope", "bf16", "interpret", "dims"))
+def _bwd_call(x, hiddens, out, dy, ws, acts, slope, bf16, interpret, dims):
+    """All arrays PADDED (batch to the fwd tile grid, features to lane
+    multiples). dy rows past the true batch must be zero — zero
+    cotangents keep every padded row's contribution zero regardless of
+    the garbage activations the fwd kernel wrote there (padded-row
+    inputs are act(b))."""
+    n = len(acts)
+    bp = x.shape[0]
+    tile_b = min(_TILE_B, bp)
+    kdims = [x.shape[1]] + [w.shape[1] for w in ws]
+
+    grid = (bp // tile_b,)
+
+    in_specs = [pl.BlockSpec((tile_b, kdims[0]), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    for li in range(1, n):
+        in_specs.append(pl.BlockSpec((tile_b, kdims[li]), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec((tile_b, kdims[n]), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM))  # out
+    in_specs.append(pl.BlockSpec((tile_b, kdims[n]), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM))  # dy
+    for li in range(n):
+        in_specs.append(pl.BlockSpec(
+            (kdims[li], kdims[li + 1]), lambda i: (0, 0),
+            memory_space=pltpu.VMEM))
+
+    out_shapes, out_specs = [], []
+    for li in range(n):
+        out_shapes.append(jax.ShapeDtypeStruct(
+            (kdims[li], kdims[li + 1]), jnp.float32))
+        out_specs.append(pl.BlockSpec(
+            (kdims[li], kdims[li + 1]), lambda i: (0, 0),
+            memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct((1, kdims[li + 1]),
+                                               jnp.float32))
+        out_specs.append(pl.BlockSpec((1, kdims[li + 1]), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+    out_shapes.append(jax.ShapeDtypeStruct((bp, kdims[0]), jnp.float32))
+    out_specs.append(pl.BlockSpec((tile_b, kdims[0]), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM))
+
+    return pl.pallas_call(
+        _make_bwd_kernel(n, acts, slope, bf16),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(x, *hiddens, out, dy, *ws)
+
+
+def _vjp_bwd(hidden_act, out_act, slope, compute_dtype_name, res, dy):
+    """Fused-kernel backward (the measured-default pallas path). Falls
+    back to the XLA twin only where the kernel's activation set can't
+    express the derivative (never for the zoo's stacks)."""
+    layers, x, hiddens, out = res
+    n = len(layers)
+    acts = _acts_tuple(n, hidden_act, out_act)
+    if not all(a in SUPPORTED_ACTS for a in acts):  # pragma: no cover
+        return _vjp_bwd_xla(hidden_act, out_act, slope, compute_dtype_name,
+                            res, dy)
+    bf16 = compute_dtype_name == "bfloat16"
+    dims = tuple([x.shape[1]] + [l["w"].shape[1] for l in layers])
+    kp = [_ru(d, 128) for d in dims]
+    b = x.shape[0]
+    bp = _ru(max(b, 8), 8)
+    tile_b = min(_TILE_B, bp)
+    bp = _ru(bp, tile_b)
+
+    xp = _pad2(x, bp, kp[0])
+    hp = tuple(_pad2(h, bp, kp[i + 1]) for i, h in enumerate(hiddens))
+    outp = _pad2(out, bp, kp[-1])
+    dyp = _pad2(dy, bp, kp[-1])   # zero rows beyond b — load-bearing
+    wsp = tuple(_pad2(l["w"], kp[i], kp[i + 1])
+                for i, l in enumerate(layers))
+
+    res_flat = _bwd_call(xp, hp, outp, dyp, wsp, acts, slope, bf16,
+                         _interpret_default(), dims)
+    dlayers = []
+    for i in range(n):
+        dlayers.append({
+            "w": res_flat[2 * i][:dims[i], :dims[i + 1]],
+            "b": res_flat[2 * i + 1][0, :dims[i + 1]],
+        })
+    dx = res_flat[2 * n][:b, :dims[0]]
+    return dlayers, dx
 
 
 mlp_pallas.defvjp(_vjp_fwd, _vjp_bwd)

@@ -183,7 +183,20 @@ class Trainer:
             raise ValueError("dataset smaller than one training step")
         self.rows_per_epoch = self.steps_per_epoch * self.rows_per_step
 
-        if self._tp_mesh:
+        if cfg.fused_step:
+            from generative_models_tpu.ops.linear import default_platform
+            from generative_models_tpu.ops.pallas_train import (
+                build_fused_many_steps, fused_step_supported,
+            )
+            ok, reason = fused_step_supported(self.spec, cfg)
+            if not ok or self.mesh is not None:
+                raise ValueError(
+                    f"fused_step unsupported here: "
+                    f"{reason or 'mesh-parallel run'}")
+            self._many_steps = jax.jit(build_fused_many_steps(
+                self.spec, cfg, self.steps_per_epoch,
+                interpret=default_platform() != "tpu"))
+        elif self._tp_mesh:
             from generative_models_tpu.parallel.tp import build_tp_many_steps
             self._many_steps = build_tp_many_steps(
                 self.spec, cfg, self.steps_per_epoch, self.mesh,

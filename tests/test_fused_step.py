@@ -1,0 +1,119 @@
+"""Fused whole-training-chunk kernel (ops/pallas_train.py) vs the XLA
+trainer step — same state, same data walk, same noise chain; the
+trajectories must agree to accumulated-fp tolerance. Runs the kernel
+in interpret mode on the CPU harness (the TPU-compiled A/B lives in
+benchmarks + BASELINE.md)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from generative_models_tpu.config import variant_config
+from generative_models_tpu.losses.registry import get_variant
+from generative_models_tpu.ops.pallas_train import (
+    build_fused_many_steps, fused_step_supported,
+)
+from generative_models_tpu.train import step as step_lib
+
+STEPS = 8
+
+
+def _setup(b=16, h=32, zd=8, variant="nsgan"):
+    cfg = variant_config(variant, batch_size=b, hidden_dim=h, z_dim=zd)
+    spec = get_variant(variant)
+    rng = jax.random.PRNGKey(7)
+    state = step_lib.init_state(spec, cfg, rng)
+    n_rows = b * 4
+    steps_per_epoch = n_rows // b
+    images = jax.random.uniform(jax.random.PRNGKey(8), (n_rows, 784))
+    labels = jnp.zeros((n_rows,), jnp.int32)
+    # two epochs of permutations so the chunk crosses a boundary
+    perm_stack = jnp.stack([
+        jax.random.permutation(jax.random.PRNGKey(9), n_rows),
+        jax.random.permutation(jax.random.PRNGKey(10), n_rows),
+    ])
+    rel = jnp.arange(STEPS, dtype=jnp.int32) * b
+    return cfg, spec, state, images, labels, perm_stack, rel, steps_per_epoch
+
+
+@pytest.mark.parametrize("variant", ["nsgan", "mmgan", "lsgan"])
+def test_fused_chunk_matches_xla_trainer(variant):
+    (cfg, spec, state, images, labels, perm_stack, rel,
+     steps_per_epoch) = _setup(variant=variant)
+
+    many_xla = jax.jit(step_lib.build_many_steps(spec, cfg,
+                                                 steps_per_epoch))
+    s_xla, m_xla = many_xla(dict(state), images, labels, perm_stack, rel)
+
+    many_fused = build_fused_many_steps(spec, cfg, steps_per_epoch,
+                                        interpret=True)
+    s_f, m_f = many_fused(dict(state), images, labels, perm_stack, rel)
+
+    for k in ("d_loss", "g_loss", "d_real", "d_fake"):
+        np.testing.assert_allclose(np.asarray(m_f[k]), np.asarray(m_xla[k]),
+                                   rtol=2e-4, atol=2e-5)
+
+    # final params + Adam state agree leaf-for-leaf
+    for side in ("g_params", "d_params"):
+        for a, b_ in zip(jax.tree.leaves(s_f[side]),
+                         jax.tree.leaves(s_xla[side])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-4, atol=2e-5)
+    for side in ("g_opt", "d_opt"):
+        for a, b_ in zip(jax.tree.leaves(s_f[side]),
+                         jax.tree.leaves(s_xla[side])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-4, atol=2e-5)
+    # rng chain and counters advance identically
+    np.testing.assert_array_equal(np.asarray(s_f["rng"]),
+                                  np.asarray(s_xla["rng"]))
+    assert int(s_f["step"]) == int(s_xla["step"]) == STEPS
+
+
+def test_fused_step_support_matrix():
+    spec = get_variant("nsgan")
+    ok, _ = fused_step_supported(spec, variant_config("nsgan"))
+    assert ok
+    # rbg IS supported: the noise chain is drawn by XLA outside the
+    # kernel, so the prng impl is free (bench.py's headline uses rbg)
+    ok, _ = fused_step_supported(
+        spec, variant_config("nsgan", prng_impl="rbg"))
+    assert ok
+    for bad in (variant_config("nsgan", d_steps=2),
+                variant_config("nsgan", ema_decay=0.99),
+                variant_config("nsgan", arch="conv"),
+                variant_config("nsgan", dp=2),
+                variant_config("wgan")):
+        ok, reason = fused_step_supported(get_variant(bad.variant), bad)
+        assert not ok and reason
+
+
+def test_trainer_runs_fused_step(tiny_data):
+    """End-to-end through the Trainer: --fused-step trains, losses are
+    finite, and the trajectory matches the default path step-for-step
+    (same seed, same data order, same noise chain)."""
+    from generative_models_tpu.train.trainer import Trainer
+    from tests.conftest import tiny_cfg
+
+    cfg_f = tiny_cfg("nsgan", fused_step=True, scan_steps=5)
+    t_f = Trainer(config=cfg_f, data=tiny_data)
+    h_f = t_f.train(steps=10)
+
+    t_x = Trainer(config=tiny_cfg("nsgan", scan_steps=5), data=tiny_data)
+    h_x = t_x.train(steps=10)
+    np.testing.assert_allclose(np.asarray(h_f["d_loss"]),
+                               np.asarray(h_x["d_loss"]),
+                               rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(h_f["g_loss"]),
+                               np.asarray(h_x["g_loss"]),
+                               rtol=5e-4, atol=5e-5)
+
+
+def test_trainer_refuses_unsupported_fused_step(tiny_data):
+    from generative_models_tpu.train.trainer import Trainer
+    from tests.conftest import tiny_cfg
+
+    with pytest.raises(ValueError, match="fused_step"):
+        Trainer(config=tiny_cfg("nsgan", fused_step=True, d_steps=2),
+                data=tiny_data)

