@@ -8,6 +8,14 @@ runs happen in bench/integration, not here.
 
 The env vars MUST be set before jax initializes, hence before any
 import of jax at collection time.
+
+RUN THE FULL SUITE SHARDED: ``pytest tests/ -q -n 4`` (pytest-xdist).
+A single process accumulates hundreds of XLA:CPU (LLVM) compilations
+over the full suite and the compiler eventually SEGFAULTS in
+backend_compile_and_load (reproduced at ~500 tests in, multiple
+sessions, different tests each time; every file passes solo).
+Worker sharding keeps each process's compilation count in the safe
+range — and is ~2x faster. Individual files/tests run fine unsharded.
 """
 
 import os

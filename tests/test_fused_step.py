@@ -24,8 +24,9 @@ def _setup(b=16, h=32, zd=8, variant="nsgan"):
     spec = get_variant(variant)
     rng = jax.random.PRNGKey(7)
     state = step_lib.init_state(spec, cfg, rng)
-    n_rows = b * 4
-    steps_per_epoch = n_rows // b
+    rows_per_step = b * max(cfg.d_steps, 1)   # wgan: 5 critic batches
+    n_rows = rows_per_step * 4
+    steps_per_epoch = n_rows // rows_per_step
     images = jax.random.uniform(jax.random.PRNGKey(8), (n_rows, 784))
     labels = jnp.zeros((n_rows,), jnp.int32)
     # two epochs of permutations so the chunk crosses a boundary
@@ -33,12 +34,14 @@ def _setup(b=16, h=32, zd=8, variant="nsgan"):
         jax.random.permutation(jax.random.PRNGKey(9), n_rows),
         jax.random.permutation(jax.random.PRNGKey(10), n_rows),
     ])
-    rel = jnp.arange(STEPS, dtype=jnp.int32) * b
+    rel = jnp.arange(STEPS, dtype=jnp.int32) * rows_per_step
     return cfg, spec, state, images, labels, perm_stack, rel, steps_per_epoch
 
 
-@pytest.mark.parametrize("variant", ["nsgan", "mmgan", "lsgan"])
+@pytest.mark.parametrize("variant", ["nsgan", "mmgan", "lsgan", "wgan"])
 def test_fused_chunk_matches_xla_trainer(variant):
+    """wgan exercises the d_steps=5 critic loop, the torch-convention
+    RMSprop branch, and the per-critic-step weight clip."""
     (cfg, spec, state, images, labels, perm_stack, rel,
      steps_per_epoch) = _setup(variant=variant)
 
@@ -50,7 +53,8 @@ def test_fused_chunk_matches_xla_trainer(variant):
                                         interpret=True)
     s_f, m_f = many_fused(dict(state), images, labels, perm_stack, rel)
 
-    for k in ("d_loss", "g_loss", "d_real", "d_fake"):
+    assert set(m_f) == set(m_xla)   # variant-correct metric keys
+    for k in m_xla:
         np.testing.assert_allclose(np.asarray(m_f[k]), np.asarray(m_xla[k]),
                                    rtol=2e-4, atol=2e-5)
 
@@ -80,11 +84,14 @@ def test_fused_step_support_matrix():
     ok, _ = fused_step_supported(
         spec, variant_config("nsgan", prng_impl="rbg"))
     assert ok
-    for bad in (variant_config("nsgan", d_steps=2),
+    # d_steps is free (the critic loop unrolls in the kernel)
+    ok, _ = fused_step_supported(
+        spec, variant_config("nsgan", d_steps=2))
+    assert ok
+    for bad in (variant_config("wgangp"),
                 variant_config("nsgan", ema_decay=0.99),
                 variant_config("nsgan", arch="conv"),
-                variant_config("nsgan", dp=2),
-                variant_config("wgan")):
+                variant_config("nsgan", dp=2)):
         ok, reason = fused_step_supported(get_variant(bad.variant), bad)
         assert not ok and reason
 
@@ -115,5 +122,29 @@ def test_trainer_refuses_unsupported_fused_step(tiny_data):
     from tests.conftest import tiny_cfg
 
     with pytest.raises(ValueError, match="fused_step"):
-        Trainer(config=tiny_cfg("nsgan", fused_step=True, d_steps=2),
+        Trainer(config=tiny_cfg("nsgan", fused_step=True, ema_decay=0.9),
                 data=tiny_data)
+
+
+def test_fused_chunk_nsgan_multi_critic_adam():
+    """d_steps=2 under Adam: D's bias-correction count advances 2 per
+    outer step while G's advances 1 — the kernel's split t counters
+    must track the XLA path exactly."""
+    (cfg, spec, state, images, labels, perm_stack, rel,
+     steps_per_epoch) = _setup(variant="nsgan")
+    cfg = cfg.replace(d_steps=2)
+    state = step_lib.init_state(spec, cfg, jax.random.PRNGKey(7))
+    many_xla = jax.jit(step_lib.build_many_steps(spec, cfg,
+                                                 steps_per_epoch))
+    s_xla, m_xla = many_xla(dict(state), images, labels, perm_stack, rel)
+    many_fused = build_fused_many_steps(spec, cfg, steps_per_epoch,
+                                        interpret=True)
+    s_f, m_f = many_fused(dict(state), images, labels, perm_stack, rel)
+    np.testing.assert_allclose(np.asarray(m_f["d_loss"]),
+                               np.asarray(m_xla["d_loss"]),
+                               rtol=2e-4, atol=2e-5)
+    for side in ("g_params", "d_params", "g_opt", "d_opt"):
+        for a, b_ in zip(jax.tree.leaves(s_f[side]),
+                         jax.tree.leaves(s_xla[side])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-4, atol=2e-5)
