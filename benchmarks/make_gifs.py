@@ -79,6 +79,10 @@ def main() -> int:
 
         doc = os.path.join(args.docs, f"{v}.md")
         if os.path.exists(doc):
+            if args.suffix and args.suffix != "_conv":
+                continue  # unknown suffix: GIF written, no doc line
+                #           (the plain GIF_LINE would point at a file
+                #            this run never produced)
             text = open(doc).read()
             if args.suffix == "_conv":
                 if f"{v}_conv_train.gif" not in text:

@@ -188,16 +188,30 @@ def mlp_pallas(layers: List[dict], x, hidden_act: str, out_act: str,
 
 
 def _vjp_fwd(layers, x, hidden_act, out_act, slope, compute_dtype_name):
-    cdt = jnp.bfloat16 if compute_dtype_name == "bfloat16" else None
-    out, hiddens = _run_fwd(layers, x, hidden_act, out_act, slope, cdt,
-                            _interpret_default())
-    return out, (layers, x, hiddens, out)
+    """Residuals keep the PADDED kernel outputs: slicing them to true
+    shapes here and re-padding in the backward would cost a full
+    HBM copy of every activation per step on the hot training path —
+    only the user-visible primal output is sliced."""
+    n = len(layers)
+    dims, flat = _prep(layers, x)
+    acts = _acts_tuple(n, hidden_act, out_act)
+    bf16 = compute_dtype_name == "bfloat16"
+    out_p, hiddens_p = _fwd_call(x, flat, acts, slope, bf16,
+                                 _interpret_default(), dims)
+    out = out_p[:x.shape[0], :dims[-1]]
+    return out, (layers, x, hiddens_p, out_p)
 
 
 def _vjp_bwd_xla(hidden_act, out_act, slope, compute_dtype_name, res, dy):
     """XLA backward from saved activations — the reference twin for the
-    fused backward kernel (and the round-1 default)."""
-    layers, x, hiddens, out = res
+    fused backward kernel (and the fallback for activations outside
+    the kernel's set). Residual activations arrive PADDED; slice to
+    true shapes first (this path is off the hot configurations)."""
+    layers, x, hiddens_p, out_p = res
+    b = x.shape[0]
+    dims = [x.shape[1]] + [l["w"].shape[1] for l in layers]
+    hiddens = [h[:b, :dims[i + 1]] for i, h in enumerate(hiddens_p)]
+    out = out_p[:b, :dims[-1]]
     n = len(layers)
     inputs = [x] + hiddens            # input to each layer
     acts_out = hiddens + [out]        # output of each layer
@@ -267,8 +281,8 @@ def _make_bwd_kernel(n_layers: int, acts: Tuple[str, ...], slope: float,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "acts", "slope", "bf16", "interpret", "dims"))
-def _bwd_call(x, hiddens, out, dy, ws, acts, slope, bf16, interpret, dims):
+    "acts", "slope", "bf16", "interpret"))
+def _bwd_call(x, hiddens, out, dy, ws, acts, slope, bf16, interpret):
     """All arrays PADDED (batch to the fwd tile grid, features to lane
     multiples). dy rows past the true batch must be zero — zero
     cotangents keep every padded row's contribution zero regardless of
@@ -324,7 +338,7 @@ def _vjp_bwd(hidden_act, out_act, slope, compute_dtype_name, res, dy):
     """Fused-kernel backward (the measured-default pallas path). Falls
     back to the XLA twin only where the kernel's activation set can't
     express the derivative (never for the zoo's stacks)."""
-    layers, x, hiddens, out = res
+    layers, x, hiddens_p, out_p = res
     n = len(layers)
     acts = _acts_tuple(n, hidden_act, out_act)
     if not all(a in SUPPORTED_ACTS for a in acts):  # pragma: no cover
@@ -334,19 +348,20 @@ def _vjp_bwd(hidden_act, out_act, slope, compute_dtype_name, res, dy):
     dims = tuple([x.shape[1]] + [l["w"].shape[1] for l in layers])
     kp = [_ru(d, 128) for d in dims]
     b = x.shape[0]
-    bp = _ru(max(b, 8), 8)
-    tile_b = min(_TILE_B, bp)
-    bp = _ru(bp, tile_b)
+    bp = out_p.shape[0]   # the fwd kernel's padded batch
 
+    # hiddens/out arrive PADDED from the forward (garbage act(b) in the
+    # padded rows/none in padded cols for the supported hidden acts) —
+    # safe because dy's zero-padded rows/cols zero every contribution
+    # they could make (see the padding analysis in the module
+    # docstring); only x and dy need padding here.
     xp = _pad2(x, bp, kp[0])
-    hp = tuple(_pad2(h, bp, kp[i + 1]) for i, h in enumerate(hiddens))
-    outp = _pad2(out, bp, kp[-1])
     dyp = _pad2(dy, bp, kp[-1])   # zero rows beyond b — load-bearing
     wsp = tuple(_pad2(l["w"], kp[i], kp[i + 1])
                 for i, l in enumerate(layers))
 
-    res_flat = _bwd_call(xp, hp, outp, dyp, wsp, acts, slope, bf16,
-                         _interpret_default(), dims)
+    res_flat = _bwd_call(xp, tuple(hiddens_p), out_p, dyp, wsp, acts,
+                         slope, bf16, _interpret_default())
     dlayers = []
     for i in range(n):
         dlayers.append({

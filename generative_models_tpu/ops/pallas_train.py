@@ -71,14 +71,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from generative_models_tpu.ops.pallas_mlp import (  # shared padding
+    _pad2, _ru,
+)
+
 FUSED_VARIANTS = ("nsgan", "mmgan", "lsgan", "wgan")
 
 _RMS_DECAY = 0.99  # torch RMSprop alpha (train/optim.py)
 _RMS_EPS = 1e-8
-
-
-def _ru(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 def _pow(base: float, t):
@@ -393,10 +393,6 @@ def _fused_chunk_call(xs, zds, zgs, packed, t_base, *, steps, ds, b, dims,
 # XLA-side packing / unpacking and the trainer-facing builder
 # ------------------------------------------------------------------
 
-def _pad2(a, r, c):
-    return jnp.pad(a, ((0, r - a.shape[0]), (0, c - a.shape[1])))
-
-
 def _pack_w(planes, r, c):
     return jnp.stack([_pad2(p, r, c) for p in planes])
 
@@ -562,6 +558,10 @@ def fused_step_supported(spec, cfg) -> Tuple[bool, str]:
         return False, f"fused_step covers {FUSED_VARIANTS} only"
     if cfg.arch != "mlp":
         return False, "fused_step covers the mlp stacks only"
+    if cfg.g_hidden_act != "relu" or cfg.d_hidden_act != "leaky_relu":
+        return False, ("fused_step hand-derives the default activations "
+                       "(G relu / D leaky_relu); non-default hidden acts "
+                       "keep the general builder")
     if cfg.spectral_projection or cfg.ema_decay > 0:
         return False, "fused_step excludes spectral/EMA hooks"
     if cfg.dtype != "float32":

@@ -450,11 +450,21 @@ class Trainer:
         if self._multiproc:
             # numpy args auto-replicate over the multi-process mesh;
             # process-local jax arrays would be rejected by the jit
-            out = self._eval_fn(self.state, xs, ys, np.asarray(key))
+            out = self._eval_fn(self.state, xs, ys,
+                                self._globalize_key(key))
         else:
             out = self._eval_fn(
                 self.state, jnp.asarray(xs), jnp.asarray(ys), key)
         return {k: float(v) for k, v in jax.device_get(out).items()}
+
+    def _globalize_key(self, key):
+        """A PRNG key acceptable to a multi-process jit: raw (threefry)
+        keys convert to auto-replicating numpy; typed keys (rbg — no
+        numpy dtype) are device_put replicated over the mesh."""
+        if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+            from generative_models_tpu.parallel.dp import replicated
+            return jax.device_put(key, replicated(self.mesh))
+        return np.asarray(key)
 
     @staticmethod
     def _decode_host(xs: np.ndarray) -> np.ndarray:
@@ -496,7 +506,7 @@ class Trainer:
         n = n or self.cfg.sample_n
         self._sample_rng, key = jax.random.split(self._sample_rng)
         if self._multiproc:
-            key = np.asarray(key)  # auto-replicates over the mesh
+            key = self._globalize_key(key)
         return np.asarray(self._sample_fn(self.generator_params, key, n))
 
     def generate_images(self, tag: str = "samples", n: Optional[int] = None,

@@ -227,3 +227,21 @@ def test_eval_fn_invalidated_on_rebuild(tiny_data):
     t._rebuild_optimizers()
     assert not hasattr(t, "_eval_fn")
     t.evaluate("val")  # rebuilds cleanly
+
+
+def test_globalize_key_handles_typed_keys(tiny_data):
+    """Multi-process eval/sample key conversion (code-review r2): raw
+    threefry keys become auto-replicating numpy, but typed keys (rbg)
+    have no numpy dtype — np.asarray raises — and must be device_put
+    replicated instead."""
+    import jax
+
+    from generative_models_tpu.parallel.mesh import make_mesh
+
+    t = Trainer(config=tiny_cfg("nsgan", prng_impl="rbg"), data=tiny_data)
+    t.mesh = make_mesh(1)
+    typed = jax.random.key(0, impl="rbg")
+    out = t._globalize_key(typed)         # must not raise
+    assert out.dtype == typed.dtype
+    raw = jax.random.PRNGKey(0)
+    assert isinstance(t._globalize_key(raw), np.ndarray)
