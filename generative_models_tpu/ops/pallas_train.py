@@ -75,7 +75,7 @@ from generative_models_tpu.ops.pallas_mlp import (  # shared padding
     _pad2, _ru,
 )
 
-FUSED_VARIANTS = ("nsgan", "mmgan", "lsgan", "wgan")
+FUSED_VARIANTS = ("nsgan", "mmgan", "lsgan", "wgan", "vae")
 
 _RMS_DECAY = 0.99  # torch RMSprop alpha (train/optim.py)
 _RMS_EPS = 1e-8
@@ -409,6 +409,9 @@ def build_fused_many_steps(spec, cfg, steps_per_epoch: int,
     metrics) — gather + noise-chain + kernel in ONE jit."""
     from generative_models_tpu.train.step import decode_images
 
+    if cfg.variant == "vae":
+        return build_fused_vae_many_steps(spec, cfg, steps_per_epoch,
+                                          interpret)
     assert cfg.variant in FUSED_VARIANTS and cfg.arch == "mlp"
     b = cfg.batch_size
     ds = max(cfg.d_steps, 1)
@@ -558,7 +561,12 @@ def fused_step_supported(spec, cfg) -> Tuple[bool, str]:
         return False, f"fused_step covers {FUSED_VARIANTS} only"
     if cfg.arch != "mlp":
         return False, "fused_step covers the mlp stacks only"
-    if cfg.g_hidden_act != "relu" or cfg.d_hidden_act != "leaky_relu":
+    if cfg.variant == "vae":
+        if cfg.vae_recon != "bce":
+            return False, "fused vae covers the Bernoulli (bce) decoder"
+        if cfg.optimizer != "adam":
+            return False, "fused vae is adam-only"
+    elif cfg.g_hidden_act != "relu" or cfg.d_hidden_act != "leaky_relu":
         return False, ("fused_step hand-derives the default activations "
                        "(G relu / D leaky_relu); non-default hidden acts "
                        "keep the general builder")
@@ -571,3 +579,341 @@ def fused_step_supported(spec, cfg) -> Tuple[bool, str]:
     # any prng_impl works: the noise chain is drawn by XLA outside the
     # kernel, replaying train/step.py's split order exactly
     return True, ""
+
+
+# ==================================================================
+# VAE fused chunk — the non-adversarial family member
+# ==================================================================
+
+def _make_vae_kernel(steps: int, b: int, bp: int, kx: int, kh: int,
+                     kl_: int, x_true: int, lr: float, b1: float,
+                     b2: float, eps: float):
+    """Single-objective fused chunk: encoder (relu trunk + mu/logvar
+    heads), reparameterization z = mu + exp(lv/2)*eps_n, Bernoulli
+    decoder with per-pixel logit-BCE summed per sample + closed-form
+    KL, Adam — all hand-derived, state VMEM-resident across the chunk
+    (losses/vae.py is the spec; ops/reparam.py the XLA twin math).
+
+    inputs:  xs [steps*bp, kx], eps_n [steps*bp, kl_] (ANY),
+             10 packed [3,R,C] state tensors (ANY):
+               e_tr [.,kx,kh] e_trb [.,8,kh] e_mu [.,kh,kl_]
+               e_mub [.,8,kl_] e_lv [.,kh,kl_] e_lvb [.,8,kl_]
+               d_w1 [.,kl_,kh] d_b1 [.,8,kh] d_w2 [.,kh,kx] d_b2 [.,8,kx]
+             t_base [1,2] SMEM int32 (col 0 used)
+    outputs: 10 packed state (ANY) + metrics [steps,128] (ANY, row DMA)
+    scratch: 10 VMEM mirrors, xbuf/ebuf double buffers, mrow, sems.
+    """
+    inv_b = 1.0 / b
+
+    def kernel(*refs):
+        xs, eps_n = refs[0], refs[1]
+        ins = refs[2:12]
+        t_base = refs[12]
+        outs = refs[13:23]
+        metrics = refs[23]
+        scr = refs[24:34]
+        xbuf, ebuf, mrow = refs[34], refs[35], refs[36]
+        state_sems, stream_sems, msem = refs[37], refs[38], refs[39]
+
+        for i in range(10):
+            pltpu.make_async_copy(ins[i], scr[i], state_sems.at[i]).start()
+
+        def stream(buf, src, slot, k, sem_row):
+            return pltpu.make_async_copy(
+                src.at[pl.ds(k * bp, bp), :], buf.at[slot],
+                stream_sems.at[sem_row, slot])
+
+        stream(xbuf, xs, 0, 0, 0).start()
+        stream(ebuf, eps_n, 0, 0, 1).start()
+        for i in range(10):
+            pltpu.make_async_copy(ins[i], scr[i], state_sems.at[i]).wait()
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (bp, 1), 0)
+        rowm = (rows < b).astype(jnp.float32)
+        xcols = (jax.lax.broadcasted_iota(jnp.int32, (bp, kx), 1)
+                 < x_true).astype(jnp.float32)
+        brow0_h = (jax.lax.broadcasted_iota(jnp.int32, (8, kh), 0)
+                   == 0).astype(jnp.float32)
+        brow0_x = (jax.lax.broadcasted_iota(jnp.int32, (8, kx), 0)
+                   == 0).astype(jnp.float32)
+        brow0_l = (jax.lax.broadcasted_iota(jnp.int32, (8, kl_), 0)
+                   == 0).astype(jnp.float32)
+
+        def dotT_lhs(a, g):
+            return jax.lax.dot_general(
+                a, g, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        def dotT_rhs(g, w):
+            return jax.lax.dot_general(
+                g, w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        def mm(a, w):
+            return jnp.dot(a, w, preferred_element_type=jnp.float32)
+
+        def update(ref, grad, t):
+            m = b1 * ref[1] + (1.0 - b1) * grad
+            v = b2 * ref[2] + (1.0 - b2) * grad * grad
+            ref[1] = m
+            ref[2] = v
+            mhat = m / (1.0 - _pow(b1, t))
+            vhat = v / (1.0 - _pow(b2, t))
+            ref[0] = ref[0] - lr * mhat / (jnp.sqrt(vhat) + eps)
+
+        def softplus(u):
+            return jnp.maximum(u, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(u)))
+
+        (s_etr, s_etrb, s_emu, s_emub, s_elv, s_elvb,
+         s_dw1, s_db1, s_dw2, s_db2) = scr
+
+        def body(k, _):
+            slot = k % 2
+            nxt = (k + 1) % 2
+
+            @pl.when(k + 1 < steps)
+            def _prefetch():
+                stream(xbuf, xs, nxt, k + 1, 0).start()
+                stream(ebuf, eps_n, nxt, k + 1, 1).start()
+
+            stream(xbuf, xs, slot, k, 0).wait()
+            stream(ebuf, eps_n, slot, k, 1).wait()
+
+            x = xbuf[slot]
+            ep = ebuf[slot]
+            t = (t_base[0, 0] + k + 1).astype(jnp.float32)
+
+            w_tr = s_etr[0]
+            b_tr = s_etrb[0, 0:1, :]
+            w_mu = s_emu[0]
+            b_mu = s_emub[0, 0:1, :]
+            w_lv = s_elv[0]
+            b_lv = s_elvb[0, 0:1, :]
+            w_d1 = s_dw1[0]
+            b_d1 = s_db1[0, 0:1, :]
+            w_d2 = s_dw2[0]
+            b_d2 = s_db2[0, 0:1, :]
+
+            # ---------- forward --------------------------------------
+            henc = jnp.maximum(mm(x, w_tr) + b_tr, 0.0)        # [bp,kh]
+            mu = mm(henc, w_mu) + b_mu                          # [bp,kl]
+            lv = mm(henc, w_lv) + b_lv
+            sig = jnp.exp(0.5 * lv)
+            z = mu + sig * ep
+            hd = jnp.maximum(mm(z, w_d1) + b_d1, 0.0)
+            lg = mm(hd, w_d2) + b_d2                            # [bp,kx]
+
+            # losses (padded latent cols contribute 0 to KL by
+            # construction: lv=mu=0 -> 1+0-0-1)
+            per_px = softplus(lg) - lg * x
+            recon = jnp.sum(per_px * xcols * rowm) * inv_b
+            kl = -0.5 * jnp.sum(
+                (1.0 + lv - mu * mu - jnp.exp(lv)) * rowm) * inv_b
+
+            # ---------- backward -------------------------------------
+            glg = (jax.nn.sigmoid(lg) - x) * xcols * rowm * inv_b
+            dW2 = dotT_lhs(hd, glg)
+            db2 = jnp.sum(glg, axis=0, keepdims=True)
+            dhd = dotT_rhs(glg, w_d2) * (hd > 0).astype(jnp.float32)
+            dW1 = dotT_lhs(z, dhd)
+            db1 = jnp.sum(dhd, axis=0, keepdims=True)
+            dz = dotT_rhs(dhd, w_d1)                            # [bp,kl]
+
+            g_mu = dz + mu * rowm * inv_b
+            g_lv = (dz * 0.5 * (z - mu)
+                    + 0.5 * (jnp.exp(lv) - 1.0) * rowm * inv_b)
+            dWmu = dotT_lhs(henc, g_mu)
+            dbmu = jnp.sum(g_mu, axis=0, keepdims=True)
+            dWlv = dotT_lhs(henc, g_lv)
+            dblv = jnp.sum(g_lv, axis=0, keepdims=True)
+            dhe = (dotT_rhs(g_mu, w_mu) + dotT_rhs(g_lv, w_lv)
+                   ) * (henc > 0).astype(jnp.float32)
+            dWtr = dotT_lhs(x, dhe)
+            dbtr = jnp.sum(dhe, axis=0, keepdims=True)
+
+            update(s_dw2, dW2, t)
+            update(s_db2, db2 * brow0_x, t)
+            update(s_dw1, dW1, t)
+            update(s_db1, db1 * brow0_h, t)
+            update(s_emu, dWmu, t)
+            update(s_emub, dbmu * brow0_l, t)
+            update(s_elv, dWlv, t)
+            update(s_elvb, dblv * brow0_l, t)
+            update(s_etr, dWtr, t)
+            update(s_etrb, dbtr * brow0_h, t)
+
+            def mcopy(mslot, kk):
+                return pltpu.make_async_copy(
+                    mrow.at[mslot], metrics.at[pl.ds(kk, 1), :],
+                    msem.at[mslot])
+
+            @pl.when(k >= 2)
+            def _drain():
+                mcopy(slot, k - 2).wait()
+
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            row = (jnp.where(lane == 0, recon + kl, 0.0)
+                   + jnp.where(lane == 1, recon, 0.0)
+                   + jnp.where(lane == 2, kl, 0.0))
+            mrow[slot] = row
+            mcopy(slot, k).start()
+            return 0
+
+        jax.lax.fori_loop(0, steps, body, 0)
+        for kk in range(max(steps - 2, 0), steps):
+            pltpu.make_async_copy(
+                mrow.at[kk % 2], metrics.at[pl.ds(kk, 1), :],
+                msem.at[kk % 2]).wait()
+        for i in range(10):
+            pltpu.make_async_copy(scr[i], outs[i], state_sems.at[i]).start()
+        for i in range(10):
+            pltpu.make_async_copy(scr[i], outs[i], state_sems.at[i]).wait()
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "steps", "b", "dims", "lr", "b1", "b2", "eps", "interpret"))
+def _fused_vae_chunk_call(xs, eps_n, packed, t_base, *, steps, b, dims,
+                          lr, b1, b2, eps, interpret):
+    xdim, hdim, ldim = dims
+    kx, kh, kl_ = _ru(xdim, 128), _ru(hdim, 128), _ru(ldim, 128)
+    bp = _ru(max(b, 8), 8)
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    in_specs = [any_spec] * 12 + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    out_specs = tuple([any_spec] * 11)
+    out_shape = tuple([jax.ShapeDtypeStruct(p.shape, p.dtype)
+                       for p in packed]
+                      + [jax.ShapeDtypeStruct((steps, 128), jnp.float32)])
+    scratch = [pltpu.VMEM(p.shape, jnp.float32) for p in packed]
+    scratch += [
+        pltpu.VMEM((2, bp, kx), jnp.float32),
+        pltpu.VMEM((2, bp, kl_), jnp.float32),
+        pltpu.VMEM((2, 1, 128), jnp.float32),
+        pltpu.SemaphoreType.DMA((10,)),
+        pltpu.SemaphoreType.DMA((2, 2)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    kernel = _make_vae_kernel(steps, b, bp, kx, kh, kl_, xdim, lr, b1,
+                              b2, eps)
+    res = pl.pallas_call(
+        kernel,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+        # 10 VMEM state mirrors alone are ~14 MB at the default widths;
+        # the 16 MB default scoped-vmem limit OOMs on a real v5e chip.
+        # v5e has 128 MB VMEM per core — ask for 64 MB headroom.
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=64 * 1024 * 1024),
+    )(xs, eps_n, *packed, t_base)
+    return tuple(res[:10]), res[10]
+
+
+def build_fused_vae_many_steps(spec, cfg, steps_per_epoch: int,
+                               interpret: bool = False):
+    """VAE twin of build_fused_many_steps (Config.fused_step on the
+    vae variant). Same many-steps contract."""
+    from generative_models_tpu.train.step import decode_images
+
+    assert cfg.variant == "vae" and cfg.arch == "mlp"
+    b = cfg.batch_size
+    bp = _ru(max(b, 8), 8)
+    xdim, hdim, ldim = cfg.image_dim, cfg.vae_hidden_dim, cfg.latent_dim
+    kx, kh, kl_ = _ru(xdim, 128), _ru(hdim, 128), _ru(ldim, 128)
+    rows_per_epoch = steps_per_epoch * b
+
+    def many_steps(state, images, labels, perm_stack, rel_offsets):
+        steps = rel_offsets.shape[0]
+
+        def idx_one(rel_offset):
+            e = rel_offset // rows_per_epoch
+            r = rel_offset % rows_per_epoch
+            return jax.lax.dynamic_slice(perm_stack, (e, r), (1, b))[0]
+        idx = jax.vmap(idx_one)(rel_offsets).reshape(-1)
+        xs = decode_images(jnp.take(images, idx, axis=0))
+        xs = xs.reshape(steps, b, xdim)
+        xs = jnp.pad(xs, ((0, 0), (0, bp - b), (0, kx - xdim)))
+        xs = xs.reshape(steps * bp, kx)
+
+        # replay train/step.py::build_single_step's rng chain
+        def draw(rng, _):
+            rng, key = jax.random.split(rng)
+            return rng, jax.random.normal(key, (b, ldim))
+        rng_out, eps_n = jax.lax.scan(draw, state["rng"], None,
+                                      length=steps)
+        eps_n = jnp.pad(eps_n, ((0, 0), (0, bp - b), (0, kl_ - ldim)))
+        eps_n = eps_n.reshape(steps * bp, kl_)
+
+        p = state["params"]
+        opt0, *rest = state["opt"]
+        planes = [p, opt0.mu, opt0.nu]
+
+        def pw(get, r, c):
+            return _pack_w([get(pl_) for pl_ in planes], r, c)
+
+        def pb(get, c):
+            return _pack_b([get(pl_) for pl_ in planes], c)
+
+        packed = (
+            pw(lambda q: q["encoder"]["trunk"][0]["w"], kx, kh),
+            pb(lambda q: q["encoder"]["trunk"][0]["b"], kh),
+            pw(lambda q: q["encoder"]["mu"]["w"], kh, kl_),
+            pb(lambda q: q["encoder"]["mu"]["b"], kl_),
+            pw(lambda q: q["encoder"]["logvar"]["w"], kh, kl_),
+            pb(lambda q: q["encoder"]["logvar"]["b"], kl_),
+            pw(lambda q: q["decoder"][0]["w"], kl_, kh),
+            pb(lambda q: q["decoder"][0]["b"], kh),
+            pw(lambda q: q["decoder"][1]["w"], kh, kx),
+            pb(lambda q: q["decoder"][1]["b"], kx),
+        )
+        t_base = jnp.stack(
+            [opt0.count, opt0.count]).reshape((1, 2)).astype(jnp.int32)
+
+        new_packed, metrics = _fused_vae_chunk_call(
+            xs, eps_n, packed, t_base,
+            steps=steps, b=b, dims=(xdim, hdim, ldim),
+            lr=cfg.g_lr, b1=cfg.adam_b1, b2=cfg.adam_b2,
+            eps=cfg.adam_eps, interpret=interpret)
+
+        def unw(t, r, c):
+            return [t[i, :r, :c] for i in range(3)]
+
+        def unb(t, c):
+            return [t[i, 0, :c] for i in range(3)]
+
+        tr_w, tr_b = unw(new_packed[0], xdim, hdim), unb(new_packed[1], hdim)
+        mu_w, mu_b = unw(new_packed[2], hdim, ldim), unb(new_packed[3], ldim)
+        lv_w, lv_b = unw(new_packed[4], hdim, ldim), unb(new_packed[5], ldim)
+        d1_w, d1_b = unw(new_packed[6], ldim, hdim), unb(new_packed[7], hdim)
+        d2_w, d2_b = unw(new_packed[8], hdim, xdim), unb(new_packed[9], xdim)
+
+        def plane(i):
+            return {
+                "encoder": {
+                    "trunk": [{"w": tr_w[i], "b": tr_b[i]}],
+                    "mu": {"w": mu_w[i], "b": mu_b[i]},
+                    "logvar": {"w": lv_w[i], "b": lv_b[i]},
+                },
+                "decoder": [{"w": d1_w[i], "b": d1_b[i]},
+                            {"w": d2_w[i], "b": d2_b[i]}],
+            }
+
+        new_state = {
+            "params": plane(0),
+            "opt": (opt0._replace(count=opt0.count + steps,
+                                  mu=plane(1), nu=plane(2)), *rest),
+            "step": state["step"] + steps,
+            "rng": rng_out,
+        }
+        out_metrics = {
+            "loss": metrics[:, 0],
+            "recon_loss": metrics[:, 1],
+            "kl_loss": metrics[:, 2],
+        }
+        return new_state, out_metrics
+
+    return many_steps

@@ -148,3 +148,32 @@ def test_fused_chunk_nsgan_multi_critic_adam():
                          jax.tree.leaves(s_xla[side])):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        rtol=2e-4, atol=2e-5)
+
+
+def test_fused_vae_chunk_matches_xla_trainer():
+    """The non-adversarial family member: hand-derived encoder/
+    reparam/KL/decoder backward + Adam in the fused chunk must
+    track the XLA single-model step (losses, params, opt state, rng)."""
+    (cfg, spec, state, images, labels, perm_stack, rel,
+     steps_per_epoch) = _setup(variant="vae")
+    assert cfg.vae_recon == "bce" and cfg.d_steps == 0
+
+    many_xla = jax.jit(step_lib.build_many_steps(spec, cfg,
+                                                 steps_per_epoch))
+    s_xla, m_xla = many_xla(dict(state), images, labels, perm_stack, rel)
+
+    many_fused = build_fused_many_steps(spec, cfg, steps_per_epoch,
+                                        interpret=True)
+    s_f, m_f = many_fused(dict(state), images, labels, perm_stack, rel)
+
+    assert set(m_f) == set(m_xla)
+    for k in m_xla:
+        np.testing.assert_allclose(np.asarray(m_f[k]), np.asarray(m_xla[k]),
+                                   rtol=2e-4, atol=2e-5)
+    for side in ("params", "opt"):
+        for a, b_ in zip(jax.tree.leaves(s_f[side]),
+                         jax.tree.leaves(s_xla[side])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-4, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(s_f["rng"]),
+                                  np.asarray(s_xla["rng"]))
