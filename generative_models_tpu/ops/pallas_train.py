@@ -89,7 +89,8 @@ def _pow(base: float, t):
 def _make_kernel(steps: int, ds: int, b: int, bp: int, kz: int, kh: int,
                  kx: int, kl: int, x_true: int, g_lr: float, d_lr: float,
                  b1: float, b2: float, eps: float, slope: float,
-                 variant: str, optimizer: str, clip: float):
+                 variant: str, optimizer: str, clip: float,
+                 dtype: str = "float32"):
     """See module docstring. Ref layout:
 
     inputs:  xs [steps*ds*bp, kx] (ANY), zd [steps*ds*bp, kz] (ANY),
@@ -154,18 +155,24 @@ def _make_kernel(steps: int, ds: int, b: int, bp: int, kz: int, kh: int,
         brow0_l = (jax.lax.broadcasted_iota(jnp.int32, (8, kl), 0)
                    == 0).astype(jnp.float32)
 
+        # Config.dtype="bfloat16" casts MXU operands only (params,
+        # grads, optimizer state stay f32; accumulation is f32 via
+        # preferred_element_type) — the v5e MXU runs bf16 ~4x f32.
+        cdt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+
         def dotT_lhs(a, g):   # aᵀ g : contract batch
             return jax.lax.dot_general(
-                a, g, (((0,), (0,)), ((), ())),
+                a.astype(cdt), g.astype(cdt), (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
         def dotT_rhs(g, w):   # g wᵀ : contract features
             return jax.lax.dot_general(
-                g, w, (((1,), (1,)), ((), ())),
+                g.astype(cdt), w.astype(cdt), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
         def mm(a, w):
-            return jnp.dot(a, w, preferred_element_type=jnp.float32)
+            return jnp.dot(a.astype(cdt), w.astype(cdt),
+                           preferred_element_type=jnp.float32)
 
         def update(ref, grad, t, lr, is_critic):
             """In-place optimizer step on a packed state ref."""
@@ -345,10 +352,10 @@ def _make_kernel(steps: int, ds: int, b: int, bp: int, kz: int, kh: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "steps", "ds", "b", "dims", "g_lr", "d_lr", "b1", "b2", "eps",
-    "slope", "variant", "optimizer", "clip", "interpret"))
+    "slope", "variant", "optimizer", "clip", "dtype", "interpret"))
 def _fused_chunk_call(xs, zds, zgs, packed, t_base, *, steps, ds, b, dims,
                       g_lr, d_lr, b1, b2, eps, slope, variant, optimizer,
-                      clip, interpret):
+                      clip, dtype, interpret):
     """packed: tuple of 8 [pd, R, C] padded state tensors (see kernel).
     xs/zds: [steps*ds*bp, kx/kz]; zgs: [steps*bp, kz] padded streams.
     Returns (new_packed, metrics [steps, 128])."""
@@ -376,7 +383,7 @@ def _fused_chunk_call(xs, zds, zgs, packed, t_base, *, steps, ds, b, dims,
 
     kernel = _make_kernel(steps, ds, b, bp, kz, kh, kx, kl, xdim,
                           g_lr, d_lr, b1, b2, eps, slope, variant,
-                          optimizer, clip)
+                          optimizer, clip, dtype)
     res = pl.pallas_call(
         kernel,
         in_specs=in_specs,
@@ -392,6 +399,27 @@ def _fused_chunk_call(xs, zds, zgs, packed, t_base, *, steps, ds, b, dims,
 # ------------------------------------------------------------------
 # XLA-side packing / unpacking and the trainer-facing builder
 # ------------------------------------------------------------------
+
+# Cap on the HBM footprint of the pre-gathered batch/noise streams fed
+# to one pallas_call. A 16000-step chunk would otherwise hoist ~6-13 GB
+# of gathered f32 rows into HBM before the kernel starts; instead the
+# chunk is split into sub-chunks (largest divisor fitting the budget)
+# and scanned, re-using one compiled kernel and carrying the packed
+# state + rng chain through the scan. Numerics are unchanged: the same
+# kernel runs the same steps in the same order.
+_STREAM_BYTES_BUDGET = int(1.5 * 2 ** 30)
+
+
+def _pick_sub(steps: int, per_step_bytes: int) -> int:
+    """Largest divisor of `steps` whose stream footprint fits budget."""
+    cap = max(1, _STREAM_BYTES_BUDGET // max(per_step_bytes, 1))
+    if steps <= cap:
+        return steps
+    for s in range(cap, 0, -1):
+        if steps % s == 0:
+            return s
+    return 1
+
 
 def _pack_w(planes, r, c):
     return jnp.stack([_pad2(p, r, c) for p in planes])
@@ -425,35 +453,43 @@ def build_fused_many_steps(spec, cfg, steps_per_epoch: int,
 
     def many_steps(state, images, labels, perm_stack, rel_offsets):
         steps = rel_offsets.shape[0]
+        per_step_bytes = ds * bp * (kx + kz) * 4 + bp * kz * 4
+        sub = _pick_sub(steps, per_step_bytes)
 
-        # --- gather every step's batches (reference permutation walk) -
         def idx_one(rel_offset):
             e = rel_offset // rows_per_epoch
             r = rel_offset % rows_per_epoch
             return jax.lax.dynamic_slice(
                 perm_stack, (e, r), (1, rows_per_step))[0]
-        idx = jax.vmap(idx_one)(rel_offsets).reshape(-1)
-        xs = decode_images(jnp.take(images, idx, axis=0))
-        xs = xs.reshape(steps * ds, b, xdim)
-        xs = jnp.pad(xs, ((0, 0), (0, bp - b), (0, kx - xdim)))
-        xs = xs.reshape(steps * ds * bp, kx)
 
-        # --- replay the XLA step's noise chain (train/step.py) -------
-        def draw(rng, _):
-            rng, d_key, g_key = jax.random.split(rng, 3)
-            d_rngs = jax.random.split(d_key, ds)
-            zd = jax.vmap(
-                lambda r: jax.random.normal(r, (b, zdim)))(d_rngs)
-            zg = jax.random.normal(g_key, (b, zdim))
-            return rng, (zd, zg)
-        rng_out, (zds, zgs) = jax.lax.scan(draw, state["rng"], None,
-                                           length=steps)
+        def gather_noise(rng, rel_sub):
+            # gather this sub-chunk's batches (reference permutation
+            # walk), then replay the XLA step's noise chain
+            # (train/step.py). Only the KEY chain is sequential — the
+            # normal draws are batched into one launch per stream,
+            # bit-identical to the per-step draws (vmap of normal over
+            # a key batch == stacked per-key normals).
+            idx = jax.vmap(idx_one)(rel_sub).reshape(-1)
+            xs = decode_images(jnp.take(images, idx, axis=0))
+            xs = xs.reshape(sub * ds, b, xdim)
+            xs = jnp.pad(xs, ((0, 0), (0, bp - b), (0, kx - xdim)))
+            xs = xs.reshape(sub * ds * bp, kx)
 
-        zds = jnp.pad(zds.reshape(steps * ds, b, zdim),
-                      ((0, 0), (0, bp - b), (0, kz - zdim)))
-        zds = zds.reshape(steps * ds * bp, kz)
-        zgs = jnp.pad(zgs, ((0, 0), (0, bp - b), (0, kz - zdim)))
-        zgs = zgs.reshape(steps * bp, kz)
+            def chain(r, _):
+                r, d_key, g_key = jax.random.split(r, 3)
+                return r, (jax.random.split(d_key, ds), g_key)
+            rng_out, (d_keys, g_keys) = jax.lax.scan(
+                chain, rng, None, length=sub, unroll=32)
+            d_keys = d_keys.reshape((sub * ds,) + d_keys.shape[2:])
+            zds = jax.vmap(
+                lambda r: jax.random.normal(r, (b, zdim)))(d_keys)
+            zgs = jax.vmap(
+                lambda r: jax.random.normal(r, (b, zdim)))(g_keys)
+            zds = jnp.pad(zds, ((0, 0), (0, bp - b), (0, kz - zdim)))
+            zds = zds.reshape(sub * ds * bp, kz)
+            zgs = jnp.pad(zgs, ((0, 0), (0, bp - b), (0, kz - zdim)))
+            zgs = zgs.reshape(sub * bp, kz)
+            return rng_out, xs, zds, zgs
 
         # --- pack params + optimizer state ---------------------------
         g_p, d_p = state["g_params"], state["d_params"]
@@ -488,14 +524,28 @@ def build_fused_many_steps(spec, cfg, steps_per_epoch: int,
             _pack_b(planes_b(d_planes, 1), kl),
         )
 
-        new_packed, metrics = _fused_chunk_call(
-            xs, zds, zgs, packed, t_base,
-            steps=steps, ds=ds, b=b, dims=(zdim, hdim, xdim),
-            g_lr=cfg.g_lr, d_lr=cfg.d_lr, b1=cfg.adam_b1, b2=cfg.adam_b2,
-            eps=cfg.adam_eps, slope=cfg.leaky_slope, variant=cfg.variant,
-            optimizer=cfg.optimizer,
-            clip=cfg.wgan_clip if cfg.variant == "wgan" else 0.0,
-            interpret=interpret)
+        def run_sub(carry, rel_sub):
+            packed_c, t_c, rng_c = carry
+            rng_n, xs, zds, zgs = gather_noise(rng_c, rel_sub)
+            new_p, m = _fused_chunk_call(
+                xs, zds, zgs, packed_c, t_c,
+                steps=sub, ds=ds, b=b, dims=(zdim, hdim, xdim),
+                g_lr=cfg.g_lr, d_lr=cfg.d_lr, b1=cfg.adam_b1,
+                b2=cfg.adam_b2, eps=cfg.adam_eps, slope=cfg.leaky_slope,
+                variant=cfg.variant, optimizer=cfg.optimizer,
+                clip=cfg.wgan_clip if cfg.variant == "wgan" else 0.0,
+                dtype=cfg.dtype, interpret=interpret)
+            t_n = t_c + jnp.array([[sub, sub * ds]], jnp.int32)
+            return (new_p, t_n, rng_n), m
+
+        if sub == steps:
+            (new_packed, _, rng_out), metrics = run_sub(
+                (packed, t_base, state["rng"]), rel_offsets)
+        else:
+            (new_packed, _, rng_out), metrics = jax.lax.scan(
+                run_sub, (packed, t_base, state["rng"]),
+                rel_offsets.reshape(steps // sub, sub))
+            metrics = metrics.reshape(steps, 128)
 
         # --- unpack ---------------------------------------------------
         def unw(t, r, c):
@@ -587,7 +637,7 @@ def fused_step_supported(spec, cfg) -> Tuple[bool, str]:
 
 def _make_vae_kernel(steps: int, b: int, bp: int, kx: int, kh: int,
                      kl_: int, x_true: int, lr: float, b1: float,
-                     b2: float, eps: float):
+                     b2: float, eps: float, dtype: str = "float32"):
     """Single-objective fused chunk: encoder (relu trunk + mu/logvar
     heads), reparameterization z = mu + exp(lv/2)*eps_n, Bernoulli
     decoder with per-pixel logit-BCE summed per sample + closed-form
@@ -639,18 +689,21 @@ def _make_vae_kernel(steps: int, b: int, bp: int, kx: int, kh: int,
         brow0_l = (jax.lax.broadcasted_iota(jnp.int32, (8, kl_), 0)
                    == 0).astype(jnp.float32)
 
+        cdt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+
         def dotT_lhs(a, g):
             return jax.lax.dot_general(
-                a, g, (((0,), (0,)), ((), ())),
+                a.astype(cdt), g.astype(cdt), (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
         def dotT_rhs(g, w):
             return jax.lax.dot_general(
-                g, w, (((1,), (1,)), ((), ())),
+                g.astype(cdt), w.astype(cdt), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
         def mm(a, w):
-            return jnp.dot(a, w, preferred_element_type=jnp.float32)
+            return jnp.dot(a.astype(cdt), w.astype(cdt),
+                           preferred_element_type=jnp.float32)
 
         def update(ref, grad, t):
             m = b1 * ref[1] + (1.0 - b1) * grad
@@ -773,9 +826,9 @@ def _make_vae_kernel(steps: int, b: int, bp: int, kx: int, kh: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "steps", "b", "dims", "lr", "b1", "b2", "eps", "interpret"))
+    "steps", "b", "dims", "lr", "b1", "b2", "eps", "dtype", "interpret"))
 def _fused_vae_chunk_call(xs, eps_n, packed, t_base, *, steps, b, dims,
-                          lr, b1, b2, eps, interpret):
+                          lr, b1, b2, eps, dtype, interpret):
     xdim, hdim, ldim = dims
     kx, kh, kl_ = _ru(xdim, 128), _ru(hdim, 128), _ru(ldim, 128)
     bp = _ru(max(b, 8), 8)
@@ -796,7 +849,7 @@ def _fused_vae_chunk_call(xs, eps_n, packed, t_base, *, steps, b, dims,
         pltpu.SemaphoreType.DMA((2,)),
     ]
     kernel = _make_vae_kernel(steps, b, bp, kx, kh, kl_, xdim, lr, b1,
-                              b2, eps)
+                              b2, eps, dtype)
     res = pl.pallas_call(
         kernel,
         in_specs=in_specs,
@@ -828,25 +881,33 @@ def build_fused_vae_many_steps(spec, cfg, steps_per_epoch: int,
 
     def many_steps(state, images, labels, perm_stack, rel_offsets):
         steps = rel_offsets.shape[0]
+        sub = _pick_sub(steps, bp * (kx + kl_) * 4)
 
         def idx_one(rel_offset):
             e = rel_offset // rows_per_epoch
             r = rel_offset % rows_per_epoch
             return jax.lax.dynamic_slice(perm_stack, (e, r), (1, b))[0]
-        idx = jax.vmap(idx_one)(rel_offsets).reshape(-1)
-        xs = decode_images(jnp.take(images, idx, axis=0))
-        xs = xs.reshape(steps, b, xdim)
-        xs = jnp.pad(xs, ((0, 0), (0, bp - b), (0, kx - xdim)))
-        xs = xs.reshape(steps * bp, kx)
 
-        # replay train/step.py::build_single_step's rng chain
-        def draw(rng, _):
-            rng, key = jax.random.split(rng)
-            return rng, jax.random.normal(key, (b, ldim))
-        rng_out, eps_n = jax.lax.scan(draw, state["rng"], None,
-                                      length=steps)
-        eps_n = jnp.pad(eps_n, ((0, 0), (0, bp - b), (0, kl_ - ldim)))
-        eps_n = eps_n.reshape(steps * bp, kl_)
+        def gather_noise(rng, rel_sub):
+            # replay train/step.py::build_single_step's rng chain —
+            # sequential key chain, batched normal draws (bit-identical)
+            idx = jax.vmap(idx_one)(rel_sub).reshape(-1)
+            xs = decode_images(jnp.take(images, idx, axis=0))
+            xs = xs.reshape(sub, b, xdim)
+            xs = jnp.pad(xs, ((0, 0), (0, bp - b), (0, kx - xdim)))
+            xs = xs.reshape(sub * bp, kx)
+
+            def chain(r, _):
+                r, key = jax.random.split(r)
+                return r, key
+            rng_out, keys = jax.lax.scan(chain, rng, None, length=sub,
+                                         unroll=32)
+            eps_n = jax.vmap(
+                lambda k: jax.random.normal(k, (b, ldim)))(keys)
+            eps_n = jnp.pad(eps_n,
+                            ((0, 0), (0, bp - b), (0, kl_ - ldim)))
+            eps_n = eps_n.reshape(sub * bp, kl_)
+            return rng_out, xs, eps_n
 
         p = state["params"]
         opt0, *rest = state["opt"]
@@ -873,11 +934,24 @@ def build_fused_vae_many_steps(spec, cfg, steps_per_epoch: int,
         t_base = jnp.stack(
             [opt0.count, opt0.count]).reshape((1, 2)).astype(jnp.int32)
 
-        new_packed, metrics = _fused_vae_chunk_call(
-            xs, eps_n, packed, t_base,
-            steps=steps, b=b, dims=(xdim, hdim, ldim),
-            lr=cfg.g_lr, b1=cfg.adam_b1, b2=cfg.adam_b2,
-            eps=cfg.adam_eps, interpret=interpret)
+        def run_sub(carry, rel_sub):
+            packed_c, t_c, rng_c = carry
+            rng_n, xs, eps_n = gather_noise(rng_c, rel_sub)
+            new_p, m = _fused_vae_chunk_call(
+                xs, eps_n, packed_c, t_c,
+                steps=sub, b=b, dims=(xdim, hdim, ldim),
+                lr=cfg.g_lr, b1=cfg.adam_b1, b2=cfg.adam_b2,
+                eps=cfg.adam_eps, dtype=cfg.dtype, interpret=interpret)
+            return (new_p, t_c + jnp.int32(sub), rng_n), m
+
+        if sub == steps:
+            (new_packed, _, rng_out), metrics = run_sub(
+                (packed, t_base, state["rng"]), rel_offsets)
+        else:
+            (new_packed, _, rng_out), metrics = jax.lax.scan(
+                run_sub, (packed, t_base, state["rng"]),
+                rel_offsets.reshape(steps // sub, sub))
+            metrics = metrics.reshape(steps, 128)
 
         def unw(t, r, c):
             return [t[i, :r, :c] for i in range(3)]

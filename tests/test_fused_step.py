@@ -177,3 +177,77 @@ def test_fused_vae_chunk_matches_xla_trainer():
                                        rtol=2e-4, atol=2e-5)
     np.testing.assert_array_equal(np.asarray(s_f["rng"]),
                                   np.asarray(s_xla["rng"]))
+
+
+@pytest.mark.parametrize("variant", ["nsgan", "vae"])
+def test_fused_subchunk_split_matches_xla(variant, monkeypatch):
+    """When the chunk's pre-gathered streams exceed the HBM budget the
+    builder splits it into scanned sub-chunks (one compiled kernel,
+    state + rng carried through). Force a tiny budget so STEPS=8 runs
+    as 4 sub-chunks of 2 and assert the trajectory is unchanged."""
+    from generative_models_tpu.ops import pallas_train as pt
+
+    (cfg, spec, state, images, labels, perm_stack, rel,
+     steps_per_epoch) = _setup(variant=variant)
+
+    many_xla = jax.jit(step_lib.build_many_steps(spec, cfg,
+                                                 steps_per_epoch))
+    s_xla, m_xla = many_xla(dict(state), images, labels, perm_stack, rel)
+
+    # per-step stream bytes at this shape is ~O(100KB); 2 steps' worth
+    # forces sub=2 (8 % 2 == 0 and 3 doesn't divide 8)
+    b_, kx, kz = 16, 896, 128
+    bp = pt._ru(b_, 8)
+    per_step = bp * (kx + kz) * 4 * max(cfg.d_steps, 1) + bp * kz * 4
+    monkeypatch.setattr(pt, "_STREAM_BYTES_BUDGET", 2 * per_step)
+    assert pt._pick_sub(STEPS, per_step) < STEPS
+
+    many_fused = build_fused_many_steps(spec, cfg, steps_per_epoch,
+                                        interpret=True)
+    s_f, m_f = many_fused(dict(state), images, labels, perm_stack, rel)
+
+    for k in m_xla:
+        np.testing.assert_allclose(np.asarray(m_f[k]),
+                                   np.asarray(m_xla[k]),
+                                   rtol=2e-4, atol=2e-5)
+    for a, b2 in zip(jax.tree.leaves(s_f), jax.tree.leaves(s_xla)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
+                                   rtol=2e-4, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(s_f["rng"]),
+                                  np.asarray(s_xla["rng"]))
+
+
+def test_pick_sub_divisor_budget():
+    from generative_models_tpu.ops.pallas_train import (
+        _STREAM_BYTES_BUDGET, _pick_sub,
+    )
+    assert _pick_sub(100, 1) == 100                     # fits: unchanged
+    assert _pick_sub(16000, _STREAM_BYTES_BUDGET) == 1  # 1 step max
+    sub = _pick_sub(16000, 400_000)   # ~flagship mlp per-step bytes
+    assert 16000 % sub == 0 and sub * 400_000 <= _STREAM_BYTES_BUDGET
+    assert sub == 4000
+
+
+def test_fused_bf16_matmuls_run_and_track_f32():
+    """Config.dtype=bfloat16 casts only the kernel's MXU operands
+    (f32 params/opt/accumulate). Not bit-parity — assert the short
+    trajectory stays finite and close to f32 at bf16 tolerance."""
+    (cfg, spec, state, images, labels, perm_stack, rel,
+     steps_per_epoch) = _setup(variant="nsgan")
+
+    f32 = build_fused_many_steps(spec, cfg, steps_per_epoch,
+                                 interpret=True)
+    s32, m32 = f32(dict(state), images, labels, perm_stack, rel)
+
+    cfg16 = cfg.replace(dtype="bfloat16")
+    f16 = build_fused_many_steps(spec, cfg16, steps_per_epoch,
+                                 interpret=True)
+    s16, m16 = f16(dict(state), images, labels, perm_stack, rel)
+
+    for k in m32:
+        a16, a32 = np.asarray(m16[k]), np.asarray(m32[k])
+        assert np.all(np.isfinite(a16))
+        np.testing.assert_allclose(a16, a32, rtol=0.12, atol=0.05)
+    for a, b2 in zip(jax.tree.leaves(s16["g_params"]),
+                     jax.tree.leaves(s32["g_params"])):
+        assert np.all(np.isfinite(np.asarray(a)))
