@@ -54,16 +54,27 @@ def main():
     from generative_models_tpu.data.mnist import load_mnist
     data = load_mnist(allow_synthetic=True, synthetic_sizes=(12000, 1000))
 
-    xla = run_arm(data, args.scan, args.steps_mult, prng_impl=args.prng)
-    fused = run_arm(data, args.scan, args.steps_mult, prng_impl=args.prng,
-                    fused_step=True)
+    arms = {
+        "xla_f32": {},
+        "fused_f32": {"fused_step": True},
+        "xla_bf16": {"dtype": "bfloat16"},
+        "fused_bf16": {"fused_step": True, "dtype": "bfloat16"},
+    }
+    rates = {}
+    for name, kw in arms.items():
+        rates[name] = run_arm(data, args.scan, args.steps_mult,
+                              prng_impl=args.prng, **kw)
+        print(json.dumps({name: round(rates[name], 1)}), flush=True)
     out = {
         "config": {"batch": BATCH, "hidden": HIDDEN, "z": Z_DIM,
                    "scan": args.scan, "prng": args.prng,
                    "backend_alive": alive},
-        "xla_steps_per_sec": round(xla, 1),
-        "fused_steps_per_sec": round(fused, 1),
-        "fused_over_xla": round(fused / xla, 3),
+        "steps_per_sec": {k: round(v, 1) for k, v in rates.items()},
+        "fused_over_xla_f32": round(rates["fused_f32"] / rates["xla_f32"],
+                                    3),
+        "best_over_xla_f32": round(max(rates.values()) / rates["xla_f32"],
+                                   3),
+        "best_arm": max(rates, key=rates.get),
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "fused_ab.json")
