@@ -622,8 +622,7 @@ def fused_step_supported(spec, cfg) -> Tuple[bool, str]:
                        "keep the general builder")
     if cfg.spectral_projection or cfg.ema_decay > 0:
         return False, "fused_step excludes spectral/EMA hooks"
-    if cfg.dtype != "float32":
-        return False, "fused_step is float32"
+    # dtype: float32, or bfloat16 (MXU operands cast, f32 accumulate)
     if cfg.dp > 1 or cfg.tp > 1:
         return False, "fused_step is single-device (use dp/tp paths)"
     # any prng_impl works: the noise chain is drawn by XLA outside the
