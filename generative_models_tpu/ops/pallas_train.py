@@ -35,6 +35,11 @@ sharing the flagship MLP G/D architecture —
 - nsgan / mmgan (BCE critic; heuristic vs saturating G),
 - lsgan (half-squares, linear head),
 - wgan (IPM critic, per-critic-step weight clip, RMSprop, d_steps=5),
+- cgan (onehot label concat on both inputs — in-kernel via a constant
+  selection-matrix matmul for the generated fake),
+- dragan / wgangp (gradient penalty with the double-backward
+  hand-derived in-kernel — exact a.e. because leaky_relu is piecewise
+  linear; see _make_kernel docstring),
 
 with arch="mlp", adam|rmsprop, any d_steps, no spectral/EMA. The
 Trainer picks this path via ``Config.fused_step``; everything else
@@ -75,7 +80,8 @@ from generative_models_tpu.ops.pallas_mlp import (  # shared padding
     _pad2, _ru,
 )
 
-FUSED_VARIANTS = ("nsgan", "mmgan", "lsgan", "wgan", "vae")
+FUSED_VARIANTS = ("nsgan", "mmgan", "lsgan", "wgan", "cgan", "dragan",
+                  "wgangp", "vae")
 
 _RMS_DECAY = 0.99  # torch RMSprop alpha (train/optim.py)
 _RMS_EPS = 1e-8
@@ -90,11 +96,15 @@ def _make_kernel(steps: int, ds: int, b: int, bp: int, kz: int, kh: int,
                  kx: int, kl: int, x_true: int, g_lr: float, d_lr: float,
                  b1: float, b2: float, eps: float, slope: float,
                  variant: str, optimizer: str, clip: float,
-                 dtype: str = "float32"):
+                 dtype: str = "float32", gp_lam: float = 0.0,
+                 n_cls: int = 0, zin: int = 0, xtra_lanes: int = 128):
     """See module docstring. Ref layout:
 
     inputs:  xs [steps*ds*bp, kx] (ANY), zd [steps*ds*bp, kz] (ANY),
              zg [steps*bp, kz] (ANY),
+             xtra [steps*ds*bp, xtra_lanes] (ANY; dragan: perturbed
+             real x_hat rows; wgangp: per-sample eps in lane 0;
+             otherwise an (8, xtra_lanes) dummy that is never read),
              8 packed state tensors [pd, R, C] (ANY; pd=3 adam
              (p, mu, nu), pd=2 rmsprop (p, nu)):
                g_w1 [.,kz,kh] g_b1 [.,8,kh] g_w2 [.,kh,kx] g_b2 [.,8,kx]
@@ -102,14 +112,35 @@ def _make_kernel(steps: int, ds: int, b: int, bp: int, kz: int, kh: int,
              t_base [1,2] (SMEM, int32: [g_count, d_count] — adam bias
              correction; D's count advances ds per outer step)
     outputs: same 8 packed tensors (ANY), metrics [steps, 128] (ANY,
-             written by row DMA)
+             written by row DMA; lanes 0-3 = d_loss, d_real, d_fake,
+             g_loss; lanes 4-5 = gp, grad_norm for the penalty
+             variants)
     scratch: 8 VMEM state mirrors, xbuf [2,ds*bp,kx],
-             zdbuf [2,ds*bp,kz], zgbuf [2,bp,kz], mrow [2,1,128],
-             state_sems (8,), stream_sems (3,2), msem (2,)
+             zdbuf [2,ds*bp,kz], zgbuf [2,bp,kz],
+             xtrabuf [2,ds*bp|8,xtra_lanes], mrow [2,1,128],
+             state_sems (8,), stream_sems (4,2), msem (2,)
+
+    cgan (n_cls > 0): zd/zg rows carry z ⊕ onehot(y) (zin true lanes),
+    xs rows carry x ⊕ onehot(y); the generated fake gets its onehot
+    appended in-kernel via one matmul with a constant selection matrix
+    (lane j of the z-space onehot block -> lane x_true+j of x-space).
+
+    dragan/wgangp (gp_lam > 0): the gradient penalty's double-backward
+    is hand-derived. With D(x) = w2ᵀ·leaky(W1ᵀx+b1)+b2 the input
+    gradient is G = (leaky'(h_hat) ⊙ w2col) · W1ᵀ; leaky' is piecewise
+    constant so its derivative is 0 a.e. — exactly what autodiff
+    computes through `where` — which makes the hand-derived penalty
+    backward EXACTLY the XLA double-backward (ops/penalty.py):
+        n_i   = sqrt(Σ G_i² + 1e-12)
+        c_i   = 2λ(n_i−1)/(b·n_i)
+        dW1  += (G ⊙ c)ᵀ U,  U = leaky'(h_hat) ⊙ w2colᵀ
+        dw2  += Σ_i c_i · leaky'(h_hat_i) ⊙ (G·W1)_i
+        db1   = db2 = 0 (a.e.)
     """
     inv_b = 1.0 / b
+    has_xtra = variant in ("dragan", "wgangp")
 
-    def kernel(xs, zd, zg,
+    def kernel(xs, zd, zg, xtra,
                g_w1, g_b1, g_w2, g_b2, d_w1, d_b1, d_w2, d_b2,
                t_base,
                o_g_w1, o_g_b1, o_g_w2, o_g_b2,
@@ -117,7 +148,7 @@ def _make_kernel(steps: int, ds: int, b: int, bp: int, kz: int, kh: int,
                metrics,
                s_g_w1, s_g_b1, s_g_w2, s_g_b2,
                s_d_w1, s_d_b1, s_d_w2, s_d_b2,
-               xbuf, zdbuf, zgbuf, mrow,
+               xbuf, zdbuf, zgbuf, xtrabuf, mrow,
                state_sems, stream_sems, msem):
         ins = (g_w1, g_b1, g_w2, g_b2, d_w1, d_b1, d_w2, d_b2)
         outs = (o_g_w1, o_g_b1, o_g_w2, o_g_b2,
@@ -137,6 +168,8 @@ def _make_kernel(steps: int, ds: int, b: int, bp: int, kz: int, kh: int,
         stream(xbuf, xs, 0, 0, ds * bp, 0).start()
         stream(zdbuf, zd, 0, 0, ds * bp, 1).start()
         stream(zgbuf, zg, 0, 0, bp, 2).start()
+        if has_xtra:
+            stream(xtrabuf, xtra, 0, 0, ds * bp, 3).start()
 
         for i in range(8):
             pltpu.make_async_copy(ins[i], scr[i], state_sems.at[i]).wait()
@@ -154,6 +187,17 @@ def _make_kernel(steps: int, ds: int, b: int, bp: int, kz: int, kh: int,
                    == 0).astype(jnp.float32)
         brow0_l = (jax.lax.broadcasted_iota(jnp.int32, (8, kl), 0)
                    == 0).astype(jnp.float32)
+
+        if n_cls > 0:
+            # cgan: constant selection matrix moving the onehot block of
+            # a z-space row (lanes zdim..zdim+n_cls) to the x-space
+            # onehot lanes (x_true..x_true+n_cls) with one matmul —
+            # lane permutation on the MXU, no unaligned vector shifts.
+            zdim_t = zin - n_cls
+            mr = jax.lax.broadcasted_iota(jnp.int32, (kz, kx), 0)
+            mc = jax.lax.broadcasted_iota(jnp.int32, (kz, kx), 1)
+            msel = ((mc - mr == x_true - zdim_t) & (mr >= zdim_t)
+                    & (mr < zin)).astype(jnp.float32)
 
         # Config.dtype="bfloat16" casts MXU operands only (params,
         # grads, optimizer state stay f32; accumulation is f32 via
@@ -211,10 +255,14 @@ def _make_kernel(steps: int, ds: int, b: int, bp: int, kz: int, kh: int,
                 stream(xbuf, xs, nxt, k + 1, ds * bp, 0).start()
                 stream(zdbuf, zd, nxt, k + 1, ds * bp, 1).start()
                 stream(zgbuf, zg, nxt, k + 1, bp, 2).start()
+                if has_xtra:
+                    stream(xtrabuf, xtra, nxt, k + 1, ds * bp, 3).start()
 
             stream(xbuf, xs, slot, k, ds * bp, 0).wait()
             stream(zdbuf, zd, slot, k, ds * bp, 1).wait()
             stream(zgbuf, zg, slot, k, bp, 2).wait()
+            if has_xtra:
+                stream(xtrabuf, xtra, slot, k, ds * bp, 3).wait()
 
             tg = (t_base[0, 0] + k + 1).astype(jnp.float32)
             w1g = s_g_w1[0]
@@ -224,6 +272,7 @@ def _make_kernel(steps: int, ds: int, b: int, bp: int, kz: int, kh: int,
 
             # ============== D: ds critic steps, fresh batch each ====
             d_loss = d_real = d_fake_m = jnp.float32(0.0)
+            gp_m = gnorm_m = jnp.float32(0.0)
             for i in range(ds):
                 td = (t_base[0, 1] + k * ds + i + 1).astype(jnp.float32)
                 x = xbuf[slot, i * bp:(i + 1) * bp, :]
@@ -235,9 +284,13 @@ def _make_kernel(steps: int, ds: int, b: int, bp: int, kz: int, kh: int,
 
                 hgd = jnp.maximum(mm(zdk, w1g) + b1g, 0.0)        # [bp,kh]
                 fake = jax.nn.sigmoid(mm(hgd, w2g) + b2g) * xcols
+                if n_cls > 0:   # cgan: D sees fake ⊕ onehot(y)
+                    fake_d = fake + mm(zdk, msel)
+                else:
+                    fake_d = fake
                 hr = leaky(mm(x, w1d) + b1d)
                 lr_ = mm(hr, w2d) + b2d                           # [bp,kl]
-                hf = leaky(mm(fake, w1d) + b1d)
+                hf = leaky(mm(fake_d, w1d) + b1d)
                 lf = mm(hf, w2d) + b2d
 
                 # variant hook: dL_D/dlogit + the logged loss (all
@@ -248,11 +301,12 @@ def _make_kernel(steps: int, ds: int, b: int, bp: int, kz: int, kh: int,
                     d_loss = (0.5 * jnp.sum((lr_ - 1.0) ** 2 * lane0 * rowm)
                               + 0.5 * jnp.sum(lf * lf * lane0 * rowm)
                               ) * inv_b
-                elif variant == "wgan":   # E[D(fake)] - E[D(real)]
+                elif variant in ("wgan", "wgangp"):  # E[D(f)] - E[D(r)]
                     glr = -lane0 * rowm * inv_b
                     glf = lane0 * rowm * inv_b
                     d_loss = jnp.sum((lf - lr_) * lane0 * rowm) * inv_b
-                else:                     # BCE critic (nsgan/mmgan)
+                else:                     # BCE critic (nsgan/mmgan/
+                    #                       cgan/dragan)
                     glr = (jax.nn.sigmoid(lr_) - 1.0) * lane0 * rowm * inv_b
                     glf = jax.nn.sigmoid(lf) * lane0 * rowm * inv_b
                     d_loss = (jnp.sum(softplus(-lr_) * lane0 * rowm)
@@ -265,8 +319,32 @@ def _make_kernel(steps: int, ds: int, b: int, bp: int, kz: int, kh: int,
                 db2d = jnp.sum(glr + glf, axis=0, keepdims=True)
                 dhr = dotT_rhs(glr, w2d) * dleaky(hr)
                 dhf = dotT_rhs(glf, w2d) * dleaky(hf)
-                dW1d = dotT_lhs(x, dhr) + dotT_lhs(fake, dhf)
+                dW1d = dotT_lhs(x, dhr) + dotT_lhs(fake_d, dhf)
                 db1d = jnp.sum(dhr + dhf, axis=0, keepdims=True)
+
+                if variant in ("dragan", "wgangp"):
+                    # hand-derived gradient penalty (docstring math)
+                    if variant == "dragan":   # perturbed real, streamed
+                        xh = xtrabuf[slot, i * bp:(i + 1) * bp, :]
+                    else:                     # eps·x + (1−eps)·fake
+                        epsk = xtrabuf[slot, i * bp:(i + 1) * bp, 0:1]
+                        xh = epsk * x + (1.0 - epsk) * fake
+                    hh = mm(xh, w1d) + b1d
+                    dph = dleaky(hh)                          # [bp,kh]
+                    w2row = dotT_rhs(lane0[0:1, :], w2d)      # [1,kh]
+                    u_pen = dph * w2row
+                    g_pen = dotT_rhs(u_pen, w1d)              # [bp,kx]
+                    sq = jnp.sum(g_pen * g_pen, axis=1, keepdims=True)
+                    nrm = jnp.sqrt(sq + 1e-12)                # [bp,1]
+                    gp_m = gp_lam * jnp.sum(
+                        rowm * (nrm - 1.0) ** 2) * inv_b
+                    gnorm_m = jnp.sum(rowm * nrm) * inv_b
+                    cpen = ((2.0 * gp_lam * inv_b)
+                            * (nrm - 1.0) / nrm * rowm)
+                    dW1d = dW1d + dotT_lhs(g_pen * cpen, u_pen)
+                    s_pen = mm(g_pen, w1d)                    # [bp,kh]
+                    dW2d = dW2d + dotT_lhs(cpen * dph * s_pen, lane0)
+                    d_loss = d_loss + gp_m
 
                 update(s_d_w1, dW1d, td, d_lr, True)
                 update(s_d_b1, db1d * brow0_h, td, d_lr, True)
@@ -282,13 +360,17 @@ def _make_kernel(steps: int, ds: int, b: int, bp: int, kz: int, kh: int,
             zgk = zgbuf[slot]
             hg = jnp.maximum(mm(zgk, w1g) + b1g, 0.0)
             fake2 = jax.nn.sigmoid(mm(hg, w2g) + b2g) * xcols
-            hf2 = leaky(mm(fake2, w1d_) + b1d_)
+            if n_cls > 0:
+                fake2_d = fake2 + mm(zgk, msel)
+            else:
+                fake2_d = fake2
+            hf2 = leaky(mm(fake2_d, w1d_) + b1d_)
             lf2 = mm(hf2, w2d_) + b2d_
             if variant == "lsgan":      # ½E[(D(G(z))-1)²]
                 gl = (lf2 - 1.0) * lane0 * rowm * inv_b
                 g_loss = 0.5 * jnp.sum(
                     (lf2 - 1.0) ** 2 * lane0 * rowm) * inv_b
-            elif variant == "wgan":     # -E[D(G(z))]
+            elif variant in ("wgan", "wgangp"):  # -E[D(G(z))]
                 gl = -lane0 * rowm * inv_b
                 g_loss = -jnp.sum(lf2 * lane0 * rowm) * inv_b
             elif variant == "mmgan":    # saturating: min -softplus(l)
@@ -329,7 +411,9 @@ def _make_kernel(steps: int, ds: int, b: int, bp: int, kz: int, kh: int,
             row = (jnp.where(lane == 0, d_loss, 0.0)
                    + jnp.where(lane == 1, d_real, 0.0)
                    + jnp.where(lane == 2, d_fake_m, 0.0)
-                   + jnp.where(lane == 3, g_loss, 0.0))
+                   + jnp.where(lane == 3, g_loss, 0.0)
+                   + jnp.where(lane == 4, gp_m, 0.0)
+                   + jnp.where(lane == 5, gnorm_m, 0.0))
             mrow[slot] = row
             mcopy(slot, k).start()
             return 0
@@ -351,20 +435,27 @@ def _make_kernel(steps: int, ds: int, b: int, bp: int, kz: int, kh: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "steps", "ds", "b", "dims", "g_lr", "d_lr", "b1", "b2", "eps",
-    "slope", "variant", "optimizer", "clip", "dtype", "interpret"))
-def _fused_chunk_call(xs, zds, zgs, packed, t_base, *, steps, ds, b, dims,
-                      g_lr, d_lr, b1, b2, eps, slope, variant, optimizer,
-                      clip, dtype, interpret):
+    "steps", "ds", "b", "dims", "x_true", "g_lr", "d_lr", "b1", "b2",
+    "eps", "slope", "variant", "optimizer", "clip", "dtype", "gp_lam",
+    "n_cls", "interpret"))
+def _fused_chunk_call(xs, zds, zgs, xtra, packed, t_base, *, steps, ds,
+                      b, dims, x_true, g_lr, d_lr, b1, b2, eps, slope,
+                      variant, optimizer, clip, dtype, gp_lam, n_cls,
+                      interpret):
     """packed: tuple of 8 [pd, R, C] padded state tensors (see kernel).
-    xs/zds: [steps*ds*bp, kx/kz]; zgs: [steps*bp, kz] padded streams.
+    xs/zds: [steps*ds*bp, kx/kz]; zgs: [steps*bp, kz] padded streams;
+    xtra: penalty-variant extra stream (or a dummy — see kernel doc).
+    dims = (zin, hdim, xin): TRUE input widths of G and D (cgan: +10
+    onehot lanes); x_true = image width (G output mask).
     Returns (new_packed, metrics [steps, 128])."""
-    zdim, hdim, xdim = dims
-    kz, kh, kx, kl = _ru(zdim, 128), _ru(hdim, 128), _ru(xdim, 128), 128
+    zin, hdim, xin = dims
+    kz, kh, kx, kl = _ru(zin, 128), _ru(hdim, 128), _ru(xin, 128), 128
     bp = _ru(max(b, 8), 8)
+    has_xtra = variant in ("dragan", "wgangp")
+    xtra_lanes = xtra.shape[-1]
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
-    in_specs = [any_spec] * 11 + [
+    in_specs = [any_spec] * 12 + [
         pl.BlockSpec(memory_space=pltpu.SMEM)]
     out_specs = tuple([any_spec] * 9)  # metrics stream to HBM by DMA
     out_shape = tuple([jax.ShapeDtypeStruct(p.shape, p.dtype)
@@ -375,15 +466,18 @@ def _fused_chunk_call(xs, zds, zgs, packed, t_base, *, steps, ds, b, dims,
         pltpu.VMEM((2, ds * bp, kx), jnp.float32),
         pltpu.VMEM((2, ds * bp, kz), jnp.float32),
         pltpu.VMEM((2, bp, kz), jnp.float32),
+        pltpu.VMEM((2, ds * bp if has_xtra else 8, xtra_lanes),
+                   jnp.float32),
         pltpu.VMEM((2, 1, 128), jnp.float32),
         pltpu.SemaphoreType.DMA((8,)),
-        pltpu.SemaphoreType.DMA((3, 2)),
+        pltpu.SemaphoreType.DMA((4, 2)),
         pltpu.SemaphoreType.DMA((2,)),
     ]
 
-    kernel = _make_kernel(steps, ds, b, bp, kz, kh, kx, kl, xdim,
+    kernel = _make_kernel(steps, ds, b, bp, kz, kh, kx, kl, x_true,
                           g_lr, d_lr, b1, b2, eps, slope, variant,
-                          optimizer, clip, dtype)
+                          optimizer, clip, dtype, gp_lam, n_cls, zin,
+                          xtra_lanes)
     res = pl.pallas_call(
         kernel,
         in_specs=in_specs,
@@ -391,8 +485,13 @@ def _fused_chunk_call(xs, zds, zgs, packed, t_base, *, steps, ds, b, dims,
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(xs, zds, zgs, *packed, t_base)
+        # the 8 VMEM state mirrors + double-buffered streams exceed the
+        # 16 MB default scoped-vmem limit once d_steps>1 or the xtra
+        # stream exists; v5e has 128 MB VMEM per core — ask for 96 MB.
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=96 * 1024 * 1024),
+    )(xs, zds, zgs, xtra, *packed, t_base)
     return tuple(res[:8]), res[8]
 
 
@@ -445,15 +544,20 @@ def build_fused_many_steps(spec, cfg, steps_per_epoch: int,
     ds = max(cfg.d_steps, 1)
     bp = _ru(max(b, 8), 8)
     zdim, hdim, xdim = cfg.z_dim, cfg.hidden_dim, cfg.image_dim
-    kz, kh, kx = _ru(zdim, 128), _ru(hdim, 128), _ru(xdim, 128)
+    n_cls = cfg.num_classes if cfg.variant == "cgan" else 0
+    zin, xin = zdim + n_cls, xdim + n_cls     # true G/D input widths
+    kz, kh, kx = _ru(zin, 128), _ru(hdim, 128), _ru(xin, 128)
     kl = 128
     rows_per_step = ds * b
     rows_per_epoch = steps_per_epoch * rows_per_step
     adam = cfg.optimizer == "adam"
+    has_xtra = cfg.variant in ("dragan", "wgangp")
+    xtra_lanes = kx if cfg.variant == "dragan" else 128
 
     def many_steps(state, images, labels, perm_stack, rel_offsets):
         steps = rel_offsets.shape[0]
-        per_step_bytes = ds * bp * (kx + kz) * 4 + bp * kz * 4
+        per_step_bytes = (ds * bp * (kx + kz) * 4 + bp * kz * 4
+                          + (ds * bp * xtra_lanes * 4 if has_xtra else 0))
         sub = _pick_sub(steps, per_step_bytes)
 
         def idx_one(rel_offset):
@@ -470,10 +574,8 @@ def build_fused_many_steps(spec, cfg, steps_per_epoch: int,
             # bit-identical to the per-step draws (vmap of normal over
             # a key batch == stacked per-key normals).
             idx = jax.vmap(idx_one)(rel_sub).reshape(-1)
-            xs = decode_images(jnp.take(images, idx, axis=0))
-            xs = xs.reshape(sub * ds, b, xdim)
-            xs = jnp.pad(xs, ((0, 0), (0, bp - b), (0, kx - xdim)))
-            xs = xs.reshape(sub * ds * bp, kx)
+            xr = decode_images(jnp.take(images, idx, axis=0))
+            xr = xr.reshape(sub * ds, b, xdim)
 
             def chain(r, _):
                 r, d_key, g_key = jax.random.split(r, 3)
@@ -481,15 +583,52 @@ def build_fused_many_steps(spec, cfg, steps_per_epoch: int,
             rng_out, (d_keys, g_keys) = jax.lax.scan(
                 chain, rng, None, length=sub, unroll=32)
             d_keys = d_keys.reshape((sub * ds,) + d_keys.shape[2:])
-            zds = jax.vmap(
-                lambda r: jax.random.normal(r, (b, zdim)))(d_keys)
+
+            xtra = jnp.zeros((8, xtra_lanes), jnp.float32)
+            if has_xtra:
+                # the variant's d_loss splits its rng before drawing z
+                # (losses/dragan.py, losses/wgangp.py) — replay that
+                pairs = jax.vmap(jax.random.split)(d_keys)
+                z_keys, aux_keys = pairs[:, 0], pairs[:, 1]
+                zds = jax.vmap(
+                    lambda r: jax.random.normal(r, (b, zdim)))(z_keys)
+                if cfg.variant == "dragan":
+                    u = jax.vmap(lambda r: jax.random.uniform(
+                        r, (b, xdim)))(aux_keys)
+                    stds = jnp.std(xr, axis=(1, 2))     # per critic batch
+                    xh = xr + (cfg.dragan_noise_scale
+                               * stds[:, None, None] * u)
+                    xh = jnp.pad(xh,
+                                 ((0, 0), (0, bp - b), (0, kx - xdim)))
+                    xtra = xh.reshape(sub * ds * bp, kx)
+                else:                                   # wgangp eps
+                    eps_u = jax.vmap(lambda r: jax.random.uniform(
+                        r, (b, 1)))(aux_keys)
+                    eps_u = jnp.pad(eps_u,
+                                    ((0, 0), (0, bp - b), (0, 127)))
+                    xtra = eps_u.reshape(sub * ds * bp, 128)
+            else:
+                zds = jax.vmap(
+                    lambda r: jax.random.normal(r, (b, zdim)))(d_keys)
             zgs = jax.vmap(
                 lambda r: jax.random.normal(r, (b, zdim)))(g_keys)
-            zds = jnp.pad(zds, ((0, 0), (0, bp - b), (0, kz - zdim)))
+
+            if n_cls > 0:   # cgan: append onehot(y) to x and z rows
+                ys = jnp.take(labels, idx, axis=0).reshape(sub * ds, b)
+                oh = jax.nn.one_hot(ys, n_cls, dtype=jnp.float32)
+                xr = jnp.concatenate([xr, oh], axis=-1)
+                zds = jnp.concatenate([zds, oh], axis=-1)
+                # G reuses the LAST critic batch (train/step.py:189)
+                oh_g = oh.reshape(sub, ds, b, n_cls)[:, -1]
+                zgs = jnp.concatenate([zgs, oh_g], axis=-1)
+
+            xs = jnp.pad(xr, ((0, 0), (0, bp - b), (0, kx - xin)))
+            xs = xs.reshape(sub * ds * bp, kx)
+            zds = jnp.pad(zds, ((0, 0), (0, bp - b), (0, kz - zin)))
             zds = zds.reshape(sub * ds * bp, kz)
-            zgs = jnp.pad(zgs, ((0, 0), (0, bp - b), (0, kz - zdim)))
+            zgs = jnp.pad(zgs, ((0, 0), (0, bp - b), (0, kz - zin)))
             zgs = zgs.reshape(sub * bp, kz)
-            return rng_out, xs, zds, zgs
+            return rng_out, xs, zds, zgs, xtra
 
         # --- pack params + optimizer state ---------------------------
         g_p, d_p = state["g_params"], state["d_params"]
@@ -526,15 +665,18 @@ def build_fused_many_steps(spec, cfg, steps_per_epoch: int,
 
         def run_sub(carry, rel_sub):
             packed_c, t_c, rng_c = carry
-            rng_n, xs, zds, zgs = gather_noise(rng_c, rel_sub)
+            rng_n, xs, zds, zgs, xtra = gather_noise(rng_c, rel_sub)
             new_p, m = _fused_chunk_call(
-                xs, zds, zgs, packed_c, t_c,
-                steps=sub, ds=ds, b=b, dims=(zdim, hdim, xdim),
+                xs, zds, zgs, xtra, packed_c, t_c,
+                steps=sub, ds=ds, b=b, dims=(zin, hdim, xin),
+                x_true=xdim,
                 g_lr=cfg.g_lr, d_lr=cfg.d_lr, b1=cfg.adam_b1,
                 b2=cfg.adam_b2, eps=cfg.adam_eps, slope=cfg.leaky_slope,
                 variant=cfg.variant, optimizer=cfg.optimizer,
                 clip=cfg.wgan_clip if cfg.variant == "wgan" else 0.0,
-                dtype=cfg.dtype, interpret=interpret)
+                dtype=cfg.dtype,
+                gp_lam=cfg.gp_lambda if has_xtra else 0.0,
+                n_cls=n_cls, interpret=interpret)
             t_n = t_c + jnp.array([[sub, sub * ds]], jnp.int32)
             return (new_p, t_n, rng_n), m
 
@@ -554,9 +696,9 @@ def build_fused_many_steps(spec, cfg, steps_per_epoch: int,
         def unb(t, c):
             return [t[i, 0, :c] for i in range(t.shape[0])]
 
-        gw1, gb1 = unw(new_packed[0], zdim, hdim), unb(new_packed[1], hdim)
+        gw1, gb1 = unw(new_packed[0], zin, hdim), unb(new_packed[1], hdim)
         gw2, gb2 = unw(new_packed[2], hdim, xdim), unb(new_packed[3], xdim)
-        dw1, db1 = unw(new_packed[4], xdim, hdim), unb(new_packed[5], hdim)
+        dw1, db1 = unw(new_packed[4], xin, hdim), unb(new_packed[5], hdim)
         dw2, db2 = unw(new_packed[6], hdim, 1), unb(new_packed[7], 1)
 
         def plane(i):
@@ -590,6 +732,22 @@ def build_fused_many_steps(spec, cfg, steps_per_epoch: int,
             out_metrics = {
                 "d_loss": metrics[:, 0],
                 "w_estimate": -metrics[:, 0],
+                "g_loss": metrics[:, 3],
+            }
+        elif cfg.variant == "wgangp":
+            # w = mean(d_fake) - mean(d_real); d_loss = w + gp
+            out_metrics = {
+                "d_loss": metrics[:, 0],
+                "w_estimate": metrics[:, 1] - metrics[:, 2],
+                "gp": metrics[:, 4],
+                "grad_norm": metrics[:, 5],
+                "g_loss": metrics[:, 3],
+            }
+        elif cfg.variant == "dragan":
+            out_metrics = {
+                "d_loss": metrics[:, 0],
+                "gp": metrics[:, 4],
+                "grad_norm": metrics[:, 5],
                 "g_loss": metrics[:, 3],
             }
         else:

@@ -28,7 +28,7 @@ def _setup(b=16, h=32, zd=8, variant="nsgan"):
     n_rows = rows_per_step * 4
     steps_per_epoch = n_rows // rows_per_step
     images = jax.random.uniform(jax.random.PRNGKey(8), (n_rows, 784))
-    labels = jnp.zeros((n_rows,), jnp.int32)
+    labels = jax.random.randint(jax.random.PRNGKey(11), (n_rows,), 0, 10)
     # two epochs of permutations so the chunk crosses a boundary
     perm_stack = jnp.stack([
         jax.random.permutation(jax.random.PRNGKey(9), n_rows),
@@ -38,10 +38,14 @@ def _setup(b=16, h=32, zd=8, variant="nsgan"):
     return cfg, spec, state, images, labels, perm_stack, rel, steps_per_epoch
 
 
-@pytest.mark.parametrize("variant", ["nsgan", "mmgan", "lsgan", "wgan"])
+@pytest.mark.parametrize("variant", ["nsgan", "mmgan", "lsgan", "wgan",
+                                     "cgan", "dragan", "wgangp"])
 def test_fused_chunk_matches_xla_trainer(variant):
     """wgan exercises the d_steps=5 critic loop, the torch-convention
-    RMSprop branch, and the per-critic-step weight clip."""
+    RMSprop branch, and the per-critic-step weight clip; cgan the
+    onehot-conditioned inputs (in-kernel selection-matrix append for
+    the fake path); dragan/wgangp the hand-derived gradient-penalty
+    double-backward against the XLA grad-of-grad."""
     (cfg, spec, state, images, labels, perm_stack, rel,
      steps_per_epoch) = _setup(variant=variant)
 
@@ -88,7 +92,12 @@ def test_fused_step_support_matrix():
     ok, _ = fused_step_supported(
         spec, variant_config("nsgan", d_steps=2))
     assert ok
-    for bad in (variant_config("wgangp"),
+    # round-2 additions to the fused family
+    for good in ("cgan", "dragan", "wgangp"):
+        ok, _ = fused_step_supported(get_variant(good),
+                                     variant_config(good))
+        assert ok
+    for bad in (variant_config("began"),
                 variant_config("nsgan", ema_decay=0.99),
                 variant_config("nsgan", arch="conv"),
                 variant_config("nsgan", dp=2)):
