@@ -32,7 +32,7 @@ JAX_WARMUP = SCAN
 JAX_STEPS = 5 * SCAN
 
 
-def bench_jax(data):
+def bench_jax(data, fused):
     from generative_models_tpu.config import variant_config
     from generative_models_tpu.train.trainer import Trainer
 
@@ -49,7 +49,12 @@ def bench_jax(data):
         # ~20% of the f32 step budget (benchmarks/step_anatomy.py).
         # Training stays deterministic per seed; threefry remains the
         # framework default for bit-stable parity (config.py).
-        prng_impl="rbg")  # compute path: XLA (the measured default)
+        prng_impl="rbg",
+        # compute path: the fused whole-chunk Pallas kernel on a live
+        # chip (measured 1.21x the XLA step, benchmarks/fused_ab.json);
+        # XLA step on the CPU fallback (the fused kernel would run in
+        # interpret mode there — meaningless to time)
+        fused_step=fused)
     t = Trainer(config=cfg, data=data)
     # sample_every=-1: no per-epoch sample grids inside the timed loop —
     # the torch replica's step loop generates no images either, so the
@@ -120,13 +125,19 @@ def main():
 
     data = load_mnist(allow_synthetic=True, synthetic_sizes=(12000, 1000))
     torch_sps = bench_torch(data)
-    jax_sps = bench_jax(data)
+    try:
+        jax_sps = bench_jax(data, fused=backend_alive)
+        path = "fused" if backend_alive else "xla"
+    except Exception:   # never lose the bench to a kernel regression
+        jax_sps = bench_jax(data, fused=False)
+        path = "xla (fused arm failed)"
     result = {
         "metric": "nsgan_gd_steps_per_sec_per_chip",
         "value": round(jax_sps, 2),
         "unit": "steps/sec",
         "vs_baseline": round(jax_sps / torch_sps, 2),
         "baseline_torch_cpu_steps_per_sec": round(torch_sps, 2),
+        "step_path": path,
     }
     if not backend_alive:
         result["platform_note"] = (
