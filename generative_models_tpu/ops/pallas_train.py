@@ -40,10 +40,20 @@ sharing the flagship MLP G/D architecture —
 - dragan / wgangp (gradient penalty with the double-backward
   hand-derived in-kernel — exact a.e. because leaky_relu is piecewise
   linear; see _make_kernel docstring),
+- fgan (all 7 divergences, saturating + non-saturating G),
+- ragan (relativistic-average BCE, batch-mean-coupled gradients),
+- fishergan (augmented Lagrangian; lam is a kernel loop carry seeded
+  from vstate, updated per critic step, reported via metrics lane 7),
+- began (AE critic with its own hidden width khd and a kx-wide
+  reconstruction head; k_t control law as the same loop carry),
+- infogan (combined d_head ⊕ q_head lanes; CE + fixed-var Gaussian
+  NLL MI bound hand-derived in both updates),
+- vae / birvae (the non-adversarial members — separate single-model
+  kernels below),
 
-with arch="mlp", adam|rmsprop, any d_steps, no spectral/EMA. The
-Trainer picks this path via ``Config.fused_step``; everything else
-keeps the general builder, refused with the reason.
+i.e. ALL 14 variants, with arch="mlp", adam|rmsprop, any d_steps, no
+spectral/EMA. The Trainer picks this path via ``Config.fused_step``;
+everything else keeps the general builder, refused with the reason.
 
 Numerics: same math as the XLA step (logit-stable BCE gradients
 sigma(l)-target, optax-convention Adam m-hat/(sqrt(v-hat)+eps), torch-
@@ -81,7 +91,8 @@ from generative_models_tpu.ops.pallas_mlp import (  # shared padding
 )
 
 FUSED_VARIANTS = ("nsgan", "mmgan", "lsgan", "wgan", "cgan", "dragan",
-                  "wgangp", "fgan", "ragan", "vae")
+                  "wgangp", "fgan", "ragan", "fishergan", "began",
+                  "infogan", "vae", "birvae")
 
 _RMS_DECAY = 0.99  # torch RMSprop alpha (train/optim.py)
 _RMS_EPS = 1e-8
@@ -98,7 +109,11 @@ def _make_kernel(steps: int, ds: int, b: int, bp: int, kz: int, kh: int,
                  variant: str, optimizer: str, clip: float,
                  dtype: str = "float32", gp_lam: float = 0.0,
                  n_cls: int = 0, zin: int = 0, xtra_lanes: int = 128,
-                 fgan_div: str = "", fgan_ns: bool = False):
+                 fgan_div: str = "", fgan_ns: bool = False,
+                 fisher_rho: float = 0.0, khd: int = 0,
+                 began_gamma: float = 0.0, began_lambda_k: float = 0.0,
+                 q_cat: int = 0, q_cont: int = 0,
+                 info_lam: float = 0.0):
     """See module docstring. Ref layout:
 
     inputs:  xs [steps*ds*bp, kx] (ANY), zd [steps*ds*bp, kz] (ANY),
@@ -140,10 +155,11 @@ def _make_kernel(steps: int, ds: int, b: int, bp: int, kz: int, kh: int,
     """
     inv_b = 1.0 / b
     has_xtra = variant in ("dragan", "wgangp")
+    khd = khd or kh      # D hidden width (began: the AE hidden)
 
     def kernel(xs, zd, zg, xtra,
                g_w1, g_b1, g_w2, g_b2, d_w1, d_b1, d_w2, d_b2,
-               t_base,
+               t_base, vs0,
                o_g_w1, o_g_b1, o_g_w2, o_g_b2,
                o_d_w1, o_d_b1, o_d_w2, o_d_b2,
                metrics,
@@ -184,6 +200,8 @@ def _make_kernel(steps: int, ds: int, b: int, bp: int, kz: int, kh: int,
                  < x_true).astype(jnp.float32)           # [bp,kx]
         brow0_h = (jax.lax.broadcasted_iota(jnp.int32, (8, kh), 0)
                    == 0).astype(jnp.float32)
+        brow0_hd = (jax.lax.broadcasted_iota(jnp.int32, (8, khd), 0)
+                    == 0).astype(jnp.float32)
         brow0_x = (jax.lax.broadcasted_iota(jnp.int32, (8, kx), 0)
                    == 0).astype(jnp.float32)
         brow0_l = (jax.lax.broadcasted_iota(jnp.int32, (8, kl), 0)
@@ -199,6 +217,46 @@ def _make_kernel(steps: int, ds: int, b: int, bp: int, kz: int, kh: int,
             mc = jax.lax.broadcasted_iota(jnp.int32, (kz, kx), 1)
             msel = ((mc - mr == x_true - zdim_t) & (mr >= zdim_t)
                     & (mr < zin)).astype(jnp.float32)
+
+        if variant == "infogan":
+            # head lane map (combined d_head ⊕ q_head in kl=128):
+            #   lane 0            D logit
+            #   lanes 1..1+cat    Q categorical logits
+            #   lanes ..+cont     Q continuous mean
+            #   lanes ..+cont     Q continuous logvar (fixed-var: no
+            #                     gradient, lanes ride along untouched)
+            # The MI targets (cat onehot, cont values) live in the
+            # z-row at lanes zdim..zdim+cat+cont — one constant
+            # selection matmul moves them to the matching head lanes.
+            zdim_q = zin - q_cat - q_cont
+            lane_q = jax.lax.broadcasted_iota(jnp.int32, (bp, kl), 1)
+            catm = ((lane_q >= 1) & (lane_q < 1 + q_cat)
+                    ).astype(jnp.float32)
+            mum = ((lane_q >= 1 + q_cat)
+                   & (lane_q < 1 + q_cat + q_cont)).astype(jnp.float32)
+            mr_q = jax.lax.broadcasted_iota(jnp.int32, (kz, kl), 0)
+            mc_q = jax.lax.broadcasted_iota(jnp.int32, (kz, kl), 1)
+            mselq = ((mc_q - mr_q == 1 - zdim_q) & (mr_q >= zdim_q)
+                     & (mr_q < zin)).astype(jnp.float32)
+            inv_bc = inv_b / float(max(q_cont, 1))
+
+            def q_grads_loss(lf_, zrow):
+                """MI gradient w.r.t. the combined head output + the
+                MI value (CE + fixed-var Gaussian NLL) for one batch
+                of fake logits lf_ and its code row zrow."""
+                tq = mm(zrow, mselq)                 # targets in head space
+                qm = jnp.where(catm > 0, lf_, -1e30)
+                mx = jnp.max(qm, axis=1, keepdims=True)
+                ex = jnp.exp(qm - mx) * catm
+                ssum = jnp.sum(ex, axis=1, keepdims=True)
+                sm = ex / ssum
+                logsm = lf_ - mx - jnp.log(ssum)
+                ce = -jnp.sum(logsm * tq * catm * rowm) * inv_b
+                nll = 0.5 * jnp.sum(
+                    (tq - lf_) ** 2 * mum * rowm) * inv_bc
+                gq = (info_lam * (sm - tq) * catm * rowm * inv_b
+                      + info_lam * (lf_ - tq) * mum * rowm * inv_bc)
+                return gq, ce + nll
 
         # Config.dtype="bfloat16" casts MXU operands only (params,
         # grads, optimizer state stay f32; accumulation is f32 via
@@ -291,7 +349,11 @@ def _make_kernel(steps: int, ds: int, b: int, bp: int, kz: int, kh: int,
             }
             gf, gfp, fstar, fstarp = _FD[fgan_div]
 
-        def body(k, _):
+        def body(k, lam):
+            # lam: loop-carried scalar variant state (fishergan's
+            # augmented-Lagrangian multiplier; 0.0 and untouched for
+            # every other variant). Seeded from the vs0 SMEM input,
+            # reported per-step through metrics lane 7.
             slot = k % 2
             nxt = (k + 1) % 2
 
@@ -317,7 +379,7 @@ def _make_kernel(steps: int, ds: int, b: int, bp: int, kz: int, kh: int,
 
             # ============== D: ds critic steps, fresh batch each ====
             d_loss = d_real = d_fake_m = jnp.float32(0.0)
-            gp_m = gnorm_m = jnp.float32(0.0)
+            gp_m = gnorm_m = aux6_m = jnp.float32(0.0)
             for i in range(ds):
                 td = (t_base[0, 1] + k * ds + i + 1).astype(jnp.float32)
                 x = xbuf[slot, i * bp:(i + 1) * bp, :]
@@ -358,6 +420,49 @@ def _make_kernel(steps: int, ds: int, b: int, bp: int, kz: int, kh: int,
                     d_loss = (-jnp.sum(gf(lr_) * lane0 * rowm)
                               + jnp.sum(fstar(t_f) * lane0 * rowm)
                               ) * inv_b
+                elif variant == "fishergan":
+                    # IPM + variance constraint via the augmented
+                    # Lagrangian (losses/fishergan.py):
+                    #   L_D = -(ipm + lam*c - rho/2 c^2), c = 1 - Omega
+                    # The constraint couples the batch; hand-derived:
+                    #   dL/dfr_i = ( -1 + (lam - rho*c) fr_i ) / B
+                    #   dL/dff_j = (  1 + (lam - rho*c) ff_j ) / B
+                    # computed with the PRE-update lam; lam descends
+                    # rho*c after (d_state_update per critic step).
+                    ipm_ = jnp.sum((lr_ - lf) * lane0 * rowm) * inv_b
+                    om_ = 0.5 * jnp.sum(
+                        (lr_ * lr_ + lf * lf) * lane0 * rowm) * inv_b
+                    c_ = 1.0 - om_
+                    mu_f = lam - fisher_rho * c_
+                    glr = (-1.0 + mu_f * lr_) * lane0 * rowm * inv_b
+                    glf = (1.0 + mu_f * lf) * lane0 * rowm * inv_b
+                    d_loss = -(ipm_ + lam * c_
+                               - 0.5 * fisher_rho * c_ * c_)
+                    d_real = ipm_          # metrics lane 1: ipm
+                    d_fake_m = om_         # metrics lane 2: omega
+                    aux6_m = c_            # metrics lane 6: constraint
+                    lam = lam - fisher_rho * c_
+                elif variant == "began":
+                    # AE critic (losses/began.py): lr_/lf are recon
+                    # LOGITS [bp,kx]; recon = sigmoid masked to the
+                    # true pixel lanes (same padding rule as the G
+                    # head). Per-sample pixel-mean L1 energy;
+                    # L_D = L(x) - k_t * L(G(z)), k_t = carried `lam`.
+                    rr = jax.nn.sigmoid(lr_) * xcols
+                    rf = jax.nn.sigmoid(lf) * xcols
+                    inv_bx = inv_b / float(x_true)
+                    l_real = jnp.sum(jnp.abs(x - rr) * rowm) * inv_bx
+                    l_fake = jnp.sum(
+                        jnp.abs(fake_d - rf) * rowm) * inv_bx
+                    d_loss = l_real - lam * l_fake
+                    # d|v-r|/dlogit = sign(r-v) * r(1-r) (a.e., sign
+                    # convention matching jax.grad of abs)
+                    glr = (jnp.sign(rr - x) * rr * (1.0 - rr)
+                           * rowm * inv_bx)
+                    glf = (-lam) * (jnp.sign(rf - fake_d)
+                                    * rf * (1.0 - rf) * rowm * inv_bx)
+                    d_real = l_real       # metrics lane 1
+                    d_fake_m = l_fake     # metrics lane 2
                 elif variant == "ragan":
                     # relativistic-average BCE; the batch means couple
                     # every logit's gradient (hand-derived:
@@ -376,6 +481,22 @@ def _make_kernel(steps: int, ds: int, b: int, bp: int, kz: int, kh: int,
                     d_loss = (jnp.sum(softplus(-dr) * lane0 * rowm)
                               + jnp.sum(softplus(df) * lane0 * rowm)
                               ) * inv_b
+                elif variant == "infogan":
+                    # BCE on the D lane + MI lower bound on the Q
+                    # lanes (losses/infogan.py): both read the SAME
+                    # combined head output on the fake batch, so one
+                    # glf vector carries both gradients into the
+                    # shared trunk.
+                    gq, mi = q_grads_loss(lf, zdk)
+                    glr = (jax.nn.sigmoid(lr_) - 1.0
+                           ) * lane0 * rowm * inv_b
+                    glf = (jax.nn.sigmoid(lf) * lane0 * rowm * inv_b
+                           + gq)
+                    bce_ = (jnp.sum(softplus(-lr_) * lane0 * rowm)
+                            + jnp.sum(softplus(lf) * lane0 * rowm)
+                            ) * inv_b
+                    d_loss = bce_ + info_lam * mi
+                    d_real = mi           # metrics lane 1: mi_loss
                 else:                     # BCE critic (nsgan/mmgan/
                     #                       cgan/dragan)
                     glr = (jax.nn.sigmoid(lr_) - 1.0) * lane0 * rowm * inv_b
@@ -383,8 +504,10 @@ def _make_kernel(steps: int, ds: int, b: int, bp: int, kz: int, kh: int,
                     d_loss = (jnp.sum(softplus(-lr_) * lane0 * rowm)
                               + jnp.sum(softplus(lf) * lane0 * rowm)
                               ) * inv_b
-                d_real = jnp.sum(lr_ * lane0 * rowm) * inv_b
-                d_fake_m = jnp.sum(lf * lane0 * rowm) * inv_b
+                if variant not in ("fishergan", "began", "infogan"):
+                    # fisher/began repurpose lanes 1/2 (set in-branch)
+                    d_real = jnp.sum(lr_ * lane0 * rowm) * inv_b
+                    d_fake_m = jnp.sum(lf * lane0 * rowm) * inv_b
 
                 dW2d = dotT_lhs(hr, glr) + dotT_lhs(hf, glf)
                 db2d = jnp.sum(glr + glf, axis=0, keepdims=True)
@@ -418,7 +541,7 @@ def _make_kernel(steps: int, ds: int, b: int, bp: int, kz: int, kh: int,
                     d_loss = d_loss + gp_m
 
                 update(s_d_w1, dW1d, td, d_lr, True)
-                update(s_d_b1, db1d * brow0_h, td, d_lr, True)
+                update(s_d_b1, db1d * brow0_hd, td, d_lr, True)
                 update(s_d_w2, dW2d, td, d_lr, True)
                 update(s_d_b2, db2d * brow0_l, td, d_lr, True)
 
@@ -441,12 +564,23 @@ def _make_kernel(steps: int, ds: int, b: int, bp: int, kz: int, kh: int,
                 gl = (lf2 - 1.0) * lane0 * rowm * inv_b
                 g_loss = 0.5 * jnp.sum(
                     (lf2 - 1.0) ** 2 * lane0 * rowm) * inv_b
-            elif variant in ("wgan", "wgangp"):  # -E[D(G(z))]
+            elif variant in ("wgan", "wgangp", "fishergan"):
+                # -E[D(G(z))] (fisher's G minimizes the plain IPM too)
                 gl = -lane0 * rowm * inv_b
                 g_loss = -jnp.sum(lf2 * lane0 * rowm) * inv_b
             elif variant == "mmgan":    # saturating: min -softplus(l)
                 gl = -jax.nn.sigmoid(lf2) * lane0 * rowm * inv_b
                 g_loss = -jnp.sum(softplus(lf2) * lane0 * rowm) * inv_b
+            elif variant == "began":
+                # L_G = L(G(z)) through the post-update AE critic.
+                # Two paths into fake2: the direct |fake - AE(fake)|
+                # term (dx_extra) and the one through the AE (gl).
+                rf2 = jax.nn.sigmoid(lf2) * xcols
+                inv_bx = inv_b / float(x_true)
+                s2 = jnp.sign(fake2 - rf2) * rowm * inv_bx
+                g_loss = jnp.sum(jnp.abs(fake2 - rf2) * rowm) * inv_bx
+                gl = -s2 * rf2 * (1.0 - rf2)
+                dx_extra = s2
             elif variant == "fgan":
                 t_f2 = gf(lf2)
                 if fgan_ns:             # Nowozin §3.2: max E[g_f]
@@ -476,12 +610,25 @@ def _make_kernel(steps: int, ds: int, b: int, bp: int, kz: int, kh: int,
                 g_loss = (jnp.sum(softplus(-df2) * lane0 * rowm)
                           + jnp.sum(softplus(dr2) * lane0 * rowm)
                           ) * inv_b
+            elif variant == "infogan":
+                # heuristic BCE toward real + the same MI bound (the
+                # MI gradient reaches G through the Q lanes AND the
+                # fake pixels — both ride the one gl vector through
+                # the shared trunk backward)
+                gq2, mi2 = q_grads_loss(lf2, zgk)
+                gl = ((jax.nn.sigmoid(lf2) - 1.0)
+                      * lane0 * rowm * inv_b + gq2)
+                g_loss = (jnp.sum(softplus(-lf2) * lane0 * rowm)
+                          * inv_b + info_lam * mi2)
+                aux6_m = mi2              # metrics lane 6: g_mi_loss
             else:                       # nsgan heuristic: BCE(l, 1)
                 gl = (jax.nn.sigmoid(lf2) - 1.0) * lane0 * rowm * inv_b
                 g_loss = jnp.sum(softplus(-lf2) * lane0 * rowm) * inv_b
 
             dh2 = dotT_rhs(gl, w2d_) * dleaky(hf2)
             dx = dotT_rhs(dh2, w1d_)                            # [bp,kx]
+            if variant == "began":      # direct L1 path into fake2
+                dx = dx + dx_extra
             gu2 = dx * fake2 * (1.0 - fake2)  # sigmoid' from the masked
             #                                   output: padded lanes = 0
             dW2g = dotT_lhs(hg, gu2)
@@ -494,6 +641,16 @@ def _make_kernel(steps: int, ds: int, b: int, bp: int, kz: int, kh: int,
             update(s_g_b1, db1g * brow0_h, tg, g_lr, False)
             update(s_g_w2, dW2g, tg, g_lr, False)
             update(s_g_b2, db2g * brow0_x, tg, g_lr, False)
+
+            if variant == "began":
+                # k_t control law (losses/began.py step_state_update):
+                # uses the LAST critic step's L(x) (d_real) and this
+                # G step's L(G(z)) (g_loss); convergence measure M to
+                # metrics lane 6, post-update k_t to lane 7.
+                balance = began_gamma * d_real - g_loss
+                lam = jnp.clip(lam + began_lambda_k * balance,
+                               0.0, 1.0)
+                aux6_m = d_real + jnp.abs(balance)
 
             # metrics row -> HBM via double-buffered DMA (a VMEM
             # [steps,128] block would cost 8 MB at scan=16000 on top of
@@ -513,12 +670,14 @@ def _make_kernel(steps: int, ds: int, b: int, bp: int, kz: int, kh: int,
                    + jnp.where(lane == 2, d_fake_m, 0.0)
                    + jnp.where(lane == 3, g_loss, 0.0)
                    + jnp.where(lane == 4, gp_m, 0.0)
-                   + jnp.where(lane == 5, gnorm_m, 0.0))
+                   + jnp.where(lane == 5, gnorm_m, 0.0)
+                   + jnp.where(lane == 6, aux6_m, 0.0)
+                   + jnp.where(lane == 7, lam, 0.0))
             mrow[slot] = row
             mcopy(slot, k).start()
-            return 0
+            return lam
 
-        jax.lax.fori_loop(0, steps, body, 0)
+        jax.lax.fori_loop(0, steps, body, vs0[0, 0])
         # drain the in-flight metric rows (steps is a python int here)
         for kk in range(max(steps - 2, 0), steps):
             pltpu.make_async_copy(
@@ -537,25 +696,38 @@ def _make_kernel(steps: int, ds: int, b: int, bp: int, kz: int, kh: int,
 @functools.partial(jax.jit, static_argnames=(
     "steps", "ds", "b", "dims", "x_true", "g_lr", "d_lr", "b1", "b2",
     "eps", "slope", "variant", "optimizer", "clip", "dtype", "gp_lam",
-    "n_cls", "fgan_div", "fgan_ns", "interpret"))
-def _fused_chunk_call(xs, zds, zgs, xtra, packed, t_base, *, steps, ds,
-                      b, dims, x_true, g_lr, d_lr, b1, b2, eps, slope,
-                      variant, optimizer, clip, dtype, gp_lam, n_cls,
-                      fgan_div, fgan_ns, interpret):
+    "n_cls", "fgan_div", "fgan_ns", "fisher_rho", "dh_true",
+    "began_gamma", "began_lambda_k", "q_cat", "q_cont", "info_lam",
+    "interpret"))
+def _fused_chunk_call(xs, zds, zgs, xtra, packed, t_base, vs0, *,
+                      steps, ds, b, dims, x_true, g_lr, d_lr, b1, b2,
+                      eps, slope, variant, optimizer, clip, dtype,
+                      gp_lam, n_cls, fgan_div, fgan_ns, fisher_rho,
+                      dh_true=0, began_gamma=0.0, began_lambda_k=0.0,
+                      q_cat=0, q_cont=0, info_lam=0.0,
+                      interpret=False):
     """packed: tuple of 8 [pd, R, C] padded state tensors (see kernel).
     xs/zds: [steps*ds*bp, kx/kz]; zgs: [steps*bp, kz] padded streams;
-    xtra: penalty-variant extra stream (or a dummy — see kernel doc).
+    xtra: penalty-variant extra stream (or a dummy — see kernel doc);
+    vs0 [1,2] f32: scalar variant-state seed (fishergan lam in [0,0];
+    zeros and unread elsewhere — the updated value rides out through
+    metrics lane 7).
     dims = (zin, hdim, xin): TRUE input widths of G and D (cgan: +10
     onehot lanes); x_true = image width (G output mask).
     Returns (new_packed, metrics [steps, 128])."""
     zin, hdim, xin = dims
-    kz, kh, kx, kl = _ru(zin, 128), _ru(hdim, 128), _ru(xin, 128), 128
+    kz, kh, kx = _ru(zin, 128), _ru(hdim, 128), _ru(xin, 128)
+    # began: the critic head is the AE reconstruction (kx lanes wide)
+    # and its hidden width is began_ae_hidden, not hidden_dim
+    kl = kx if variant == "began" else 128
+    khd = _ru(dh_true, 128) if dh_true else kh
     bp = _ru(max(b, 8), 8)
     has_xtra = variant in ("dragan", "wgangp")
     xtra_lanes = xtra.shape[-1]
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     in_specs = [any_spec] * 12 + [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM)]
     out_specs = tuple([any_spec] * 9)  # metrics stream to HBM by DMA
     out_shape = tuple([jax.ShapeDtypeStruct(p.shape, p.dtype)
@@ -577,7 +749,9 @@ def _fused_chunk_call(xs, zds, zgs, xtra, packed, t_base, *, steps, ds,
     kernel = _make_kernel(steps, ds, b, bp, kz, kh, kx, kl, x_true,
                           g_lr, d_lr, b1, b2, eps, slope, variant,
                           optimizer, clip, dtype, gp_lam, n_cls, zin,
-                          xtra_lanes, fgan_div, fgan_ns)
+                          xtra_lanes, fgan_div, fgan_ns, fisher_rho,
+                          khd, began_gamma, began_lambda_k,
+                          q_cat, q_cont, info_lam)
     res = pl.pallas_call(
         kernel,
         in_specs=in_specs,
@@ -591,7 +765,7 @@ def _fused_chunk_call(xs, zds, zgs, xtra, packed, t_base, *, steps, ds,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             vmem_limit_bytes=96 * 1024 * 1024),
-    )(xs, zds, zgs, xtra, *packed, t_base)
+    )(xs, zds, zgs, xtra, *packed, t_base, vs0)
     return tuple(res[:8]), res[8]
 
 
@@ -639,15 +813,27 @@ def build_fused_many_steps(spec, cfg, steps_per_epoch: int,
     if cfg.variant == "vae":
         return build_fused_vae_many_steps(spec, cfg, steps_per_epoch,
                                           interpret)
+    if cfg.variant == "birvae":
+        return build_fused_birvae_many_steps(spec, cfg, steps_per_epoch,
+                                             interpret)
     assert cfg.variant in FUSED_VARIANTS and cfg.arch == "mlp"
     b = cfg.batch_size
     ds = max(cfg.d_steps, 1)
     bp = _ru(max(b, 8), 8)
     zdim, hdim, xdim = cfg.z_dim, cfg.hidden_dim, cfg.image_dim
     n_cls = cfg.num_classes if cfg.variant == "cgan" else 0
-    zin, xin = zdim + n_cls, xdim + n_cls     # true G/D input widths
+    info = cfg.variant == "infogan"
+    qc, qn = (cfg.info_cat_dim, cfg.info_cont_dim) if info else (0, 0)
+    # infogan: G input rows carry z ⊕ onehot(cat) ⊕ cont codes
+    zin, xin = zdim + n_cls + qc + qn, xdim + n_cls
     kz, kh, kx = _ru(zin, 128), _ru(hdim, 128), _ru(xin, 128)
-    kl = 128
+    began = cfg.variant == "began"
+    # began: AE critic — hidden width began_ae_hidden, head kx wide;
+    # infogan: combined d_head ⊕ q_head output lanes
+    dh = cfg.began_ae_hidden if began else hdim
+    dout = xdim if began else (1 + qc + 2 * qn if info else 1)
+    khd = _ru(dh, 128)
+    kl = kx if began else 128
     rows_per_step = ds * b
     rows_per_epoch = steps_per_epoch * rows_per_step
     adam = cfg.optimizer == "adam"
@@ -685,7 +871,22 @@ def build_fused_many_steps(spec, cfg, steps_per_epoch: int,
             d_keys = d_keys.reshape((sub * ds,) + d_keys.shape[2:])
 
             xtra = jnp.zeros((8, xtra_lanes), jnp.float32)
-            if has_xtra:
+            if info:
+                # replay losses/infogan.py's draw order: the loss
+                # splits its rng (code_rng first), then code_rng
+                # 3-ways for z / cat / cont
+                def draw_codes(k):
+                    ck = jax.random.split(k)[0]
+                    r1, r2, r3 = jax.random.split(ck, 3)
+                    z = jax.random.normal(r1, (b, zdim))
+                    cat = jax.random.randint(r2, (b,), 0, qc)
+                    cont = jax.random.uniform(r3, (b, qn),
+                                              minval=-1.0, maxval=1.0)
+                    return jnp.concatenate(
+                        [z, jax.nn.one_hot(cat, qc, dtype=jnp.float32),
+                         cont], axis=-1)
+                zds = jax.vmap(draw_codes)(d_keys)
+            elif has_xtra:
                 # the variant's d_loss splits its rng before drawing z
                 # (losses/dragan.py, losses/wgangp.py) — replay that
                 pairs = jax.vmap(jax.random.split)(d_keys)
@@ -710,8 +911,11 @@ def build_fused_many_steps(spec, cfg, steps_per_epoch: int,
             else:
                 zds = jax.vmap(
                     lambda r: jax.random.normal(r, (b, zdim)))(d_keys)
-            zgs = jax.vmap(
-                lambda r: jax.random.normal(r, (b, zdim)))(g_keys)
+            if info:
+                zgs = jax.vmap(draw_codes)(g_keys)
+            else:
+                zgs = jax.vmap(
+                    lambda r: jax.random.normal(r, (b, zdim)))(g_keys)
 
             if n_cls > 0:   # cgan: append onehot(y) to x and z rows
                 ys = jnp.take(labels, idx, axis=0).reshape(sub * ds, b)
@@ -752,22 +956,48 @@ def build_fused_many_steps(spec, cfg, steps_per_epoch: int,
         def planes_b(planes, li):
             return [pl_[li]["b"] for pl_ in planes]
 
+        if info:
+            # infogan d_params: {"trunk": [layer], "d_head", "q_head"}
+            # — layer 2 is the two heads concatenated along lanes
+            d_l1_w = [p["trunk"][0]["w"] for p in d_planes]
+            d_l1_b = [p["trunk"][0]["b"] for p in d_planes]
+            d_l2_w = [jnp.concatenate(
+                [p["d_head"]["w"], p["q_head"]["w"]], axis=1)
+                for p in d_planes]
+            d_l2_b = [jnp.concatenate(
+                [p["d_head"]["b"], p["q_head"]["b"]])
+                for p in d_planes]
+        else:
+            d_l1_w = planes_w(d_planes, 0)
+            d_l1_b = planes_b(d_planes, 0)
+            d_l2_w = planes_w(d_planes, 1)
+            d_l2_b = planes_b(d_planes, 1)
+
         packed = (
             _pack_w(planes_w(g_planes, 0), kz, kh),
             _pack_b(planes_b(g_planes, 0), kh),
             _pack_w(planes_w(g_planes, 1), kh, kx),
             _pack_b(planes_b(g_planes, 1), kx),
-            _pack_w(planes_w(d_planes, 0), kx, kh),
-            _pack_b(planes_b(d_planes, 0), kh),
-            _pack_w(planes_w(d_planes, 1), kh, kl),
-            _pack_b(planes_b(d_planes, 1), kl),
+            _pack_w(d_l1_w, kx, khd),
+            _pack_b(d_l1_b, khd),
+            _pack_w(d_l2_w, khd, kl),
+            _pack_b(d_l2_b, kl),
         )
 
+        if cfg.variant == "fishergan":
+            vs0 = jnp.stack([state["vstate"]["lam"],
+                             jnp.float32(0.0)]).reshape(1, 2)
+        elif began:
+            vs0 = jnp.stack([state["vstate"]["k"],
+                             jnp.float32(0.0)]).reshape(1, 2)
+        else:
+            vs0 = jnp.zeros((1, 2), jnp.float32)
+
         def run_sub(carry, rel_sub):
-            packed_c, t_c, rng_c = carry
+            packed_c, t_c, rng_c, vs_c = carry
             rng_n, xs, zds, zgs, xtra = gather_noise(rng_c, rel_sub)
             new_p, m = _fused_chunk_call(
-                xs, zds, zgs, xtra, packed_c, t_c,
+                xs, zds, zgs, xtra, packed_c, t_c, vs_c,
                 steps=sub, ds=ds, b=b, dims=(zin, hdim, xin),
                 x_true=xdim,
                 g_lr=cfg.g_lr, d_lr=cfg.d_lr, b1=cfg.adam_b1,
@@ -781,16 +1011,25 @@ def build_fused_many_steps(spec, cfg, steps_per_epoch: int,
                           if cfg.variant == "fgan" else ""),
                 fgan_ns=(cfg.variant == "fgan"
                          and cfg.fgan_g_loss == "nonsaturating"),
+                fisher_rho=(cfg.fisher_rho
+                            if cfg.variant == "fishergan" else 0.0),
+                dh_true=dh if began else 0,
+                began_gamma=cfg.began_gamma if began else 0.0,
+                began_lambda_k=cfg.began_lambda_k if began else 0.0,
+                q_cat=qc, q_cont=qn,
+                info_lam=cfg.info_lambda if info else 0.0,
                 interpret=interpret)
             t_n = t_c + jnp.array([[sub, sub * ds]], jnp.int32)
-            return (new_p, t_n, rng_n), m
+            # scalar variant state rides out through metrics lane 7
+            vs_n = jnp.stack([m[-1, 7], jnp.float32(0.0)]).reshape(1, 2)
+            return (new_p, t_n, rng_n, vs_n), m
 
         if sub == steps:
-            (new_packed, _, rng_out), metrics = run_sub(
-                (packed, t_base, state["rng"]), rel_offsets)
+            (new_packed, _, rng_out, _), metrics = run_sub(
+                (packed, t_base, state["rng"], vs0), rel_offsets)
         else:
-            (new_packed, _, rng_out), metrics = jax.lax.scan(
-                run_sub, (packed, t_base, state["rng"]),
+            (new_packed, _, rng_out, _), metrics = jax.lax.scan(
+                run_sub, (packed, t_base, state["rng"], vs0),
                 rel_offsets.reshape(steps // sub, sub))
             metrics = metrics.reshape(steps, 128)
 
@@ -803,12 +1042,22 @@ def build_fused_many_steps(spec, cfg, steps_per_epoch: int,
 
         gw1, gb1 = unw(new_packed[0], zin, hdim), unb(new_packed[1], hdim)
         gw2, gb2 = unw(new_packed[2], hdim, xdim), unb(new_packed[3], xdim)
-        dw1, db1 = unw(new_packed[4], xin, hdim), unb(new_packed[5], hdim)
-        dw2, db2 = unw(new_packed[6], hdim, 1), unb(new_packed[7], 1)
+        dw1, db1 = unw(new_packed[4], xin, dh), unb(new_packed[5], dh)
+        dw2, db2 = unw(new_packed[6], dh, dout), unb(new_packed[7], dout)
 
         def plane(i):
-            return ([{"w": gw1[i], "b": gb1[i]}, {"w": gw2[i], "b": gb2[i]}],
-                    [{"w": dw1[i], "b": db1[i]}, {"w": dw2[i], "b": db2[i]}])
+            g_side = [{"w": gw1[i], "b": gb1[i]},
+                      {"w": gw2[i], "b": gb2[i]}]
+            if info:
+                d_side = {
+                    "trunk": [{"w": dw1[i], "b": db1[i]}],
+                    "d_head": {"w": dw2[i][:, :1], "b": db2[i][:1]},
+                    "q_head": {"w": dw2[i][:, 1:], "b": db2[i][1:]},
+                }
+            else:
+                d_side = [{"w": dw1[i], "b": db1[i]},
+                          {"w": dw2[i], "b": db2[i]}]
+            return g_side, d_side
 
         g_params, d_params = plane(0)
         if adam:
@@ -824,12 +1073,18 @@ def build_fused_many_steps(spec, cfg, steps_per_epoch: int,
             g_new = (g_opt0._replace(nu=g_nu), *g_rest)
             d_new = (d_opt0._replace(nu=d_nu), *d_rest)
 
+        if cfg.variant == "fishergan":
+            new_vstate = {"lam": metrics[-1, 7]}
+        elif began:
+            new_vstate = {"k": metrics[-1, 7], "m": metrics[-1, 6]}
+        else:
+            new_vstate = state["vstate"]
         new_state = {
             "g_params": g_params,
             "d_params": d_params,
             "g_opt": g_new,
             "d_opt": d_new,
-            "vstate": state["vstate"],
+            "vstate": new_vstate,
             "step": state["step"] + steps,
             "rng": rng_out,
         }
@@ -866,6 +1121,32 @@ def build_fused_many_steps(spec, cfg, steps_per_epoch: int,
                 "d_loss": metrics[:, 0],
                 "g_loss": metrics[:, 3],
             }
+        elif cfg.variant == "fishergan":
+            out_metrics = {
+                "d_loss": metrics[:, 0],
+                "ipm": metrics[:, 1],
+                "omega": metrics[:, 2],
+                "g_loss": metrics[:, 3],
+                "constraint": metrics[:, 6],
+                "vstate_lam": metrics[:, 7],
+            }
+        elif began:
+            out_metrics = {
+                "d_loss": metrics[:, 0],
+                "began_l_real": metrics[:, 1],
+                "began_l_fake_d": metrics[:, 2],
+                "g_loss": metrics[:, 3],
+                "began_l_fake_g": metrics[:, 3],
+                "vstate_m": metrics[:, 6],
+                "vstate_k": metrics[:, 7],
+            }
+        elif info:
+            out_metrics = {
+                "d_loss": metrics[:, 0],
+                "mi_loss": metrics[:, 1],
+                "g_loss": metrics[:, 3],
+                "g_mi_loss": metrics[:, 6],
+            }
         else:
             out_metrics = {
                 "d_loss": metrics[:, 0],
@@ -890,10 +1171,21 @@ def fused_step_supported(spec, cfg) -> Tuple[bool, str]:
             return False, "fused vae covers the Bernoulli (bce) decoder"
         if cfg.optimizer != "adam":
             return False, "fused vae is adam-only"
+    elif cfg.variant == "birvae":
+        if cfg.optimizer != "adam":
+            return False, "fused birvae is adam-only"
     elif cfg.g_hidden_act != "relu" or cfg.d_hidden_act != "leaky_relu":
         return False, ("fused_step hand-derives the default activations "
                        "(G relu / D leaky_relu); non-default hidden acts "
                        "keep the general builder")
+    if cfg.variant == "infogan":
+        if not cfg.info_cont_fixed_var:
+            return False, ("fused infogan hand-derives the fixed-"
+                           "variance Gaussian NLL (the default); the "
+                           "learned-variance head keeps the general "
+                           "builder")
+        if 1 + cfg.info_cat_dim + 2 * cfg.info_cont_dim > 128:
+            return False, "fused infogan head exceeds 128 lanes"
     if cfg.spectral_projection or cfg.ema_decay > 0:
         return False, "fused_step excludes spectral/EMA hooks"
     # dtype: float32, or bfloat16 (MXU operands cast, f32 accumulate)
@@ -1260,6 +1552,376 @@ def build_fused_vae_many_steps(spec, cfg, steps_per_epoch: int,
             "loss": metrics[:, 0],
             "recon_loss": metrics[:, 1],
             "kl_loss": metrics[:, 2],
+        }
+        return new_state, out_metrics
+
+    return many_steps
+
+
+# ==================================================================
+# BIR-VAE fused chunk — encoder mean + batch-norm channel, no KL
+# ==================================================================
+
+def _make_birvae_kernel(steps: int, b: int, bp: int, kx: int, kh: int,
+                        kl_: int, x_true: int, l_true: int, lr: float,
+                        b1: float, b2: float, eps: float,
+                        sigma_n: float, recon: str,
+                        dtype: str = "float32"):
+    """BIR-VAE (losses/birvae.py) as a fused chunk: mean-only encoder,
+    zero-mean unit-power batch normalization of the latent (no learned
+    params; biased batch moments E[x^2]-E[x]^2 per dim), fixed-variance
+    channel noise z = mu_hat + sigma_n*eps, decoder with MSE (paper
+    default) or logit-BCE reconstruction, Adam — the BN backward is
+    hand-derived:
+        dmu = r * (g - mean_B(g) - mu_hat * mean_B(g * mu_hat)),
+        r = rsqrt(var + 1e-5)
+    which equals autodiff through global_moments_axis0 a.e.
+
+    inputs:  xs [steps*bp, kx], eps_n [steps*bp, kl_] (ANY),
+             8 packed [3,R,C] state tensors (ANY):
+               e_tr [.,kx,kh] e_trb [.,8,kh] e_mu [.,kh,kl_]
+               e_mub [.,8,kl_] d_w1 [.,kl_,kh] d_b1 [.,8,kh]
+               d_w2 [.,kh,kx] d_b2 [.,8,kx]
+             t_base [1,2] SMEM int32 (col 0 used)
+    outputs: 8 packed state (ANY) + metrics [steps,128] (ANY, row DMA:
+             lane 0 loss, 1 recon, 2 latent_power)
+    """
+    inv_b = 1.0 / b
+    inv_l = 1.0 / float(l_true)
+
+    def kernel(*refs):
+        xs, eps_n = refs[0], refs[1]
+        ins = refs[2:10]
+        t_base = refs[10]
+        outs = refs[11:19]
+        metrics = refs[19]
+        scr = refs[20:28]
+        xbuf, ebuf, mrow = refs[28], refs[29], refs[30]
+        state_sems, stream_sems, msem = refs[31], refs[32], refs[33]
+
+        for i in range(8):
+            pltpu.make_async_copy(ins[i], scr[i], state_sems.at[i]).start()
+
+        def stream(buf, src, slot, k, sem_row):
+            return pltpu.make_async_copy(
+                src.at[pl.ds(k * bp, bp), :], buf.at[slot],
+                stream_sems.at[sem_row, slot])
+
+        stream(xbuf, xs, 0, 0, 0).start()
+        stream(ebuf, eps_n, 0, 0, 1).start()
+        for i in range(8):
+            pltpu.make_async_copy(ins[i], scr[i], state_sems.at[i]).wait()
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (bp, 1), 0)
+        rowm = (rows < b).astype(jnp.float32)
+        xcols = (jax.lax.broadcasted_iota(jnp.int32, (bp, kx), 1)
+                 < x_true).astype(jnp.float32)
+        brow0_h = (jax.lax.broadcasted_iota(jnp.int32, (8, kh), 0)
+                   == 0).astype(jnp.float32)
+        brow0_x = (jax.lax.broadcasted_iota(jnp.int32, (8, kx), 0)
+                   == 0).astype(jnp.float32)
+        brow0_l = (jax.lax.broadcasted_iota(jnp.int32, (8, kl_), 0)
+                   == 0).astype(jnp.float32)
+
+        cdt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+
+        def dotT_lhs(a, g):
+            return jax.lax.dot_general(
+                a.astype(cdt), g.astype(cdt), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        def dotT_rhs(g, w):
+            return jax.lax.dot_general(
+                g.astype(cdt), w.astype(cdt), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        def mm(a, w):
+            return jnp.dot(a.astype(cdt), w.astype(cdt),
+                           preferred_element_type=jnp.float32)
+
+        def update(ref, grad, t):
+            m = b1 * ref[1] + (1.0 - b1) * grad
+            v = b2 * ref[2] + (1.0 - b2) * grad * grad
+            ref[1] = m
+            ref[2] = v
+            mhat = m / (1.0 - _pow(b1, t))
+            vhat = v / (1.0 - _pow(b2, t))
+            ref[0] = ref[0] - lr * mhat / (jnp.sqrt(vhat) + eps)
+
+        def softplus(u):
+            return jnp.maximum(u, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(u)))
+
+        (s_etr, s_etrb, s_emu, s_emub,
+         s_dw1, s_db1, s_dw2, s_db2) = scr
+
+        def body(k, _):
+            slot = k % 2
+            nxt = (k + 1) % 2
+
+            @pl.when(k + 1 < steps)
+            def _prefetch():
+                stream(xbuf, xs, nxt, k + 1, 0).start()
+                stream(ebuf, eps_n, nxt, k + 1, 1).start()
+
+            stream(xbuf, xs, slot, k, 0).wait()
+            stream(ebuf, eps_n, slot, k, 1).wait()
+
+            x = xbuf[slot]
+            ep = ebuf[slot]
+            t = (t_base[0, 0] + k + 1).astype(jnp.float32)
+
+            w_tr = s_etr[0]
+            b_tr = s_etrb[0, 0:1, :]
+            w_mu = s_emu[0]
+            b_mu = s_emub[0, 0:1, :]
+            w_d1 = s_dw1[0]
+            b_d1 = s_db1[0, 0:1, :]
+            w_d2 = s_dw2[0]
+            b_d2 = s_db2[0, 0:1, :]
+
+            # ---------- forward --------------------------------------
+            henc = jnp.maximum(mm(x, w_tr) + b_tr, 0.0)        # [bp,kh]
+            mu = mm(henc, w_mu) + b_mu                          # [bp,kl]
+            # biased batch moments over the TRUE rows, per latent dim
+            # (padded-row mu values are masked out of the stats)
+            mean = jnp.sum(mu * rowm, axis=0, keepdims=True) * inv_b
+            m2 = jnp.sum(mu * mu * rowm, axis=0, keepdims=True) * inv_b
+            var = jnp.maximum(m2 - mean * mean, 0.0)
+            r_ = jax.lax.rsqrt(var + 1e-5)
+            mu_hat = (mu - mean) * r_
+            z = mu_hat + sigma_n * ep
+            hd = jnp.maximum(mm(z, w_d1) + b_d1, 0.0)
+            lg = mm(hd, w_d2) + b_d2                            # [bp,kx]
+
+            if recon == "bce":
+                per_px = softplus(lg) - lg * x
+                glg = (jax.nn.sigmoid(lg) - x) * xcols * rowm * inv_b
+            else:                                   # mse (paper)
+                out = jax.nn.sigmoid(lg)
+                per_px = (out - x) * (out - x)
+                glg = (2.0 * (out - x) * out * (1.0 - out)
+                       ) * xcols * rowm * inv_b
+            loss = jnp.sum(per_px * xcols * rowm) * inv_b
+            latent_power = jnp.sum(
+                mu_hat * mu_hat * rowm) * inv_b * inv_l
+
+            # ---------- backward -------------------------------------
+            dW2 = dotT_lhs(hd, glg)
+            db2 = jnp.sum(glg, axis=0, keepdims=True)
+            dhd = dotT_rhs(glg, w_d2) * (hd > 0).astype(jnp.float32)
+            dW1 = dotT_lhs(z, dhd)
+            db1 = jnp.sum(dhd, axis=0, keepdims=True)
+            dz = dotT_rhs(dhd, w_d1)                            # [bp,kl]
+
+            # BN backward (g = dz; padded rows of dz are already 0)
+            mg = jnp.sum(dz * rowm, axis=0, keepdims=True) * inv_b
+            mgy = jnp.sum(dz * mu_hat * rowm, axis=0,
+                          keepdims=True) * inv_b
+            g_mu = r_ * (dz - mg - mu_hat * mgy) * rowm
+
+            dWmu = dotT_lhs(henc, g_mu)
+            dbmu = jnp.sum(g_mu, axis=0, keepdims=True)
+            dhe = dotT_rhs(g_mu, w_mu) * (henc > 0).astype(jnp.float32)
+            dWtr = dotT_lhs(x, dhe)
+            dbtr = jnp.sum(dhe, axis=0, keepdims=True)
+
+            update(s_dw2, dW2, t)
+            update(s_db2, db2 * brow0_x, t)
+            update(s_dw1, dW1, t)
+            update(s_db1, db1 * brow0_h, t)
+            update(s_emu, dWmu, t)
+            update(s_emub, dbmu * brow0_l, t)
+            update(s_etr, dWtr, t)
+            update(s_etrb, dbtr * brow0_h, t)
+
+            def mcopy(mslot, kk):
+                return pltpu.make_async_copy(
+                    mrow.at[mslot], metrics.at[pl.ds(kk, 1), :],
+                    msem.at[mslot])
+
+            @pl.when(k >= 2)
+            def _drain():
+                mcopy(slot, k - 2).wait()
+
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            row = (jnp.where(lane == 0, loss, 0.0)
+                   + jnp.where(lane == 1, loss, 0.0)
+                   + jnp.where(lane == 2, latent_power, 0.0))
+            mrow[slot] = row
+            mcopy(slot, k).start()
+            return 0
+
+        jax.lax.fori_loop(0, steps, body, 0)
+        for kk in range(max(steps - 2, 0), steps):
+            pltpu.make_async_copy(
+                mrow.at[kk % 2], metrics.at[pl.ds(kk, 1), :],
+                msem.at[kk % 2]).wait()
+        for i in range(8):
+            pltpu.make_async_copy(scr[i], outs[i], state_sems.at[i]).start()
+        for i in range(8):
+            pltpu.make_async_copy(scr[i], outs[i], state_sems.at[i]).wait()
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "steps", "b", "dims", "lr", "b1", "b2", "eps", "sigma_n", "recon",
+    "dtype", "interpret"))
+def _fused_birvae_chunk_call(xs, eps_n, packed, t_base, *, steps, b,
+                             dims, lr, b1, b2, eps, sigma_n, recon,
+                             dtype, interpret):
+    xdim, hdim, ldim = dims
+    kx, kh, kl_ = _ru(xdim, 128), _ru(hdim, 128), _ru(ldim, 128)
+    bp = _ru(max(b, 8), 8)
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    in_specs = [any_spec] * 10 + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    out_specs = tuple([any_spec] * 9)
+    out_shape = tuple([jax.ShapeDtypeStruct(p.shape, p.dtype)
+                       for p in packed]
+                      + [jax.ShapeDtypeStruct((steps, 128), jnp.float32)])
+    scratch = [pltpu.VMEM(p.shape, jnp.float32) for p in packed]
+    scratch += [
+        pltpu.VMEM((2, bp, kx), jnp.float32),
+        pltpu.VMEM((2, bp, kl_), jnp.float32),
+        pltpu.VMEM((2, 1, 128), jnp.float32),
+        pltpu.SemaphoreType.DMA((8,)),
+        pltpu.SemaphoreType.DMA((2, 2)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    kernel = _make_birvae_kernel(steps, b, bp, kx, kh, kl_, xdim, ldim,
+                                 lr, b1, b2, eps, sigma_n, recon, dtype)
+    res = pl.pallas_call(
+        kernel,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=64 * 1024 * 1024),
+    )(xs, eps_n, *packed, t_base)
+    return tuple(res[:8]), res[8]
+
+
+def build_fused_birvae_many_steps(spec, cfg, steps_per_epoch: int,
+                                  interpret: bool = False):
+    """BIR-VAE twin of build_fused_vae_many_steps (Config.fused_step on
+    the birvae variant). Same many-steps contract."""
+    from generative_models_tpu.losses.birvae import noise_sigma
+    from generative_models_tpu.train.step import decode_images
+
+    assert cfg.variant == "birvae" and cfg.arch == "mlp"
+    b = cfg.batch_size
+    bp = _ru(max(b, 8), 8)
+    xdim, hdim, ldim = cfg.image_dim, cfg.vae_hidden_dim, cfg.latent_dim
+    kx, kl_ = _ru(xdim, 128), _ru(ldim, 128)
+    rows_per_epoch = steps_per_epoch * b
+    sigma_n = noise_sigma(cfg)
+
+    def many_steps(state, images, labels, perm_stack, rel_offsets):
+        steps = rel_offsets.shape[0]
+        sub = _pick_sub(steps, bp * (kx + kl_) * 4)
+
+        def idx_one(rel_offset):
+            e = rel_offset // rows_per_epoch
+            r = rel_offset % rows_per_epoch
+            return jax.lax.dynamic_slice(perm_stack, (e, r), (1, b))[0]
+
+        def gather_noise(rng, rel_sub):
+            # replay train/step.py::build_single_step's rng chain
+            idx = jax.vmap(idx_one)(rel_sub).reshape(-1)
+            xs = decode_images(jnp.take(images, idx, axis=0))
+            xs = xs.reshape(sub, b, xdim)
+            xs = jnp.pad(xs, ((0, 0), (0, bp - b), (0, kx - xdim)))
+            xs = xs.reshape(sub * bp, kx)
+
+            def chain(r, _):
+                r, key = jax.random.split(r)
+                return r, key
+            rng_out, keys = jax.lax.scan(chain, rng, None, length=sub,
+                                         unroll=32)
+            eps_n = jax.vmap(
+                lambda k: jax.random.normal(k, (b, ldim)))(keys)
+            eps_n = jnp.pad(eps_n,
+                            ((0, 0), (0, bp - b), (0, kl_ - ldim)))
+            eps_n = eps_n.reshape(sub * bp, kl_)
+            return rng_out, xs, eps_n
+
+        p = state["params"]
+        opt0, *rest = state["opt"]
+        planes = [p, opt0.mu, opt0.nu]
+
+        def pw(get, r, c):
+            return _pack_w([get(pl_) for pl_ in planes], r, c)
+
+        def pb(get, c):
+            return _pack_b([get(pl_) for pl_ in planes], c)
+
+        packed = (
+            pw(lambda q: q["enc_trunk"][0]["w"], kx, _ru(hdim, 128)),
+            pb(lambda q: q["enc_trunk"][0]["b"], _ru(hdim, 128)),
+            pw(lambda q: q["enc_mu"]["w"], _ru(hdim, 128), kl_),
+            pb(lambda q: q["enc_mu"]["b"], kl_),
+            pw(lambda q: q["decoder"][0]["w"], kl_, _ru(hdim, 128)),
+            pb(lambda q: q["decoder"][0]["b"], _ru(hdim, 128)),
+            pw(lambda q: q["decoder"][1]["w"], _ru(hdim, 128), kx),
+            pb(lambda q: q["decoder"][1]["b"], kx),
+        )
+        t_base = jnp.stack(
+            [opt0.count, opt0.count]).reshape((1, 2)).astype(jnp.int32)
+
+        def run_sub(carry, rel_sub):
+            packed_c, t_c, rng_c = carry
+            rng_n, xs, eps_n = gather_noise(rng_c, rel_sub)
+            new_p, m = _fused_birvae_chunk_call(
+                xs, eps_n, packed_c, t_c,
+                steps=sub, b=b, dims=(xdim, hdim, ldim),
+                lr=cfg.g_lr, b1=cfg.adam_b1, b2=cfg.adam_b2,
+                eps=cfg.adam_eps, sigma_n=sigma_n,
+                recon=cfg.vae_recon, dtype=cfg.dtype,
+                interpret=interpret)
+            return (new_p, t_c + jnp.int32(sub), rng_n), m
+
+        if sub == steps:
+            (new_packed, _, rng_out), metrics = run_sub(
+                (packed, t_base, state["rng"]), rel_offsets)
+        else:
+            (new_packed, _, rng_out), metrics = jax.lax.scan(
+                run_sub, (packed, t_base, state["rng"]),
+                rel_offsets.reshape(steps // sub, sub))
+            metrics = metrics.reshape(steps, 128)
+
+        def unw(t, r, c):
+            return [t[i, :r, :c] for i in range(3)]
+
+        def unb(t, c):
+            return [t[i, 0, :c] for i in range(3)]
+
+        tr_w, tr_b = unw(new_packed[0], xdim, hdim), unb(new_packed[1], hdim)
+        mu_w, mu_b = unw(new_packed[2], hdim, ldim), unb(new_packed[3], ldim)
+        d1_w, d1_b = unw(new_packed[4], ldim, hdim), unb(new_packed[5], hdim)
+        d2_w, d2_b = unw(new_packed[6], hdim, xdim), unb(new_packed[7], xdim)
+
+        def plane(i):
+            return {
+                "enc_trunk": [{"w": tr_w[i], "b": tr_b[i]}],
+                "enc_mu": {"w": mu_w[i], "b": mu_b[i]},
+                "decoder": [{"w": d1_w[i], "b": d1_b[i]},
+                            {"w": d2_w[i], "b": d2_b[i]}],
+            }
+
+        new_state = {
+            "params": plane(0),
+            "opt": (opt0._replace(count=opt0.count + steps,
+                                  mu=plane(1), nu=plane(2)), *rest),
+            "step": state["step"] + steps,
+            "rng": rng_out,
+        }
+        out_metrics = {
+            "loss": metrics[:, 0],
+            "recon_loss": metrics[:, 1],
+            "latent_power": metrics[:, 2],
         }
         return new_state, out_metrics
 

@@ -41,22 +41,34 @@ def _setup(b=16, h=32, zd=8, variant="nsgan", **kw):
 
 @pytest.mark.parametrize("variant", ["nsgan", "mmgan", "lsgan", "wgan",
                                      "cgan", "dragan", "wgangp",
-                                     "ragan"])
+                                     "ragan", "fishergan", "began",
+                                     "infogan"])
 def test_fused_chunk_matches_xla_trainer(variant):
     """wgan exercises the d_steps=5 critic loop, the torch-convention
     RMSprop branch, and the per-critic-step weight clip; cgan the
     onehot-conditioned inputs (in-kernel selection-matrix append for
     the fake path); dragan/wgangp the hand-derived gradient-penalty
     double-backward against the XLA grad-of-grad; ragan the
-    batch-mean-coupled relativistic gradients.
+    batch-mean-coupled relativistic gradients; fishergan the
+    carried augmented-Lagrangian multiplier (kernel loop carry,
+    per-critic-step descent, round-trip through metrics lane 7).
 
     ragan pins adam_eps=1e-3: its D-bias gradients cancel EXACTLY in
     math (the relativistic differences are invariant to a uniform
     logit shift), so at the default eps Adam normalizes ulp-level fp
     noise into O(lr) param drift on both sides — with a sane eps the
     8-step trajectories agree to ~1e-7 (verified; the same math at
-    default eps diverges only through that amplification)."""
-    kw = {"adam_eps": 1e-3} if variant == "ragan" else {}
+    default eps diverges only through that amplification).
+    fishergan has the same pathology through a different door: its
+    D-bias gradient is (lam - rho*c)*(mean f_r + mean f_f) — the +-1
+    BCE-like terms cancel exactly, leaving an O(rho)=1e-6 residual
+    whose fp rounding Adam then normalizes to O(lr); same eps pin."""
+    kw = ({"adam_eps": 1e-3} if variant in ("ragan", "fishergan")
+          else {})
+    if variant == "began":
+        # AE hidden 136 pads to 256 lanes while G hidden 32 pads to
+        # 128 — exercises the kernel's separate D hidden width (khd)
+        kw["began_ae_hidden"] = 136
     (cfg, spec, state, images, labels, perm_stack, rel,
      steps_per_epoch) = _setup(variant=variant, **kw)
 
@@ -84,6 +96,11 @@ def test_fused_chunk_matches_xla_trainer(variant):
                          jax.tree.leaves(s_xla[side])):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        rtol=2e-4, atol=2e-5)
+    # variant scalar state (fisher lam) tracks the XLA carry
+    for a, b_ in zip(jax.tree.leaves(s_f["vstate"]),
+                     jax.tree.leaves(s_xla["vstate"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-5)
     # rng chain and counters advance identically
     np.testing.assert_array_equal(np.asarray(s_f["rng"]),
                                   np.asarray(s_xla["rng"]))
@@ -104,14 +121,16 @@ def test_fused_step_support_matrix():
         spec, variant_config("nsgan", d_steps=2))
     assert ok
     # round-2 additions to the fused family
-    for good in ("cgan", "dragan", "wgangp"):
+    for good in ("cgan", "dragan", "wgangp", "fishergan", "began",
+                 "infogan", "birvae"):
         ok, _ = fused_step_supported(get_variant(good),
                                      variant_config(good))
         assert ok
-    for bad in (variant_config("began"),
+    for bad in (variant_config("nsgan", g_hidden_act="tanh"),
                 variant_config("nsgan", ema_decay=0.99),
                 variant_config("nsgan", arch="conv"),
-                variant_config("nsgan", dp=2)):
+                variant_config("nsgan", dp=2),
+                variant_config("infogan", info_cont_fixed_var=False)):
         ok, reason = fused_step_supported(get_variant(bad.variant), bad)
         assert not ok and reason
 
@@ -177,6 +196,44 @@ def test_fused_vae_chunk_matches_xla_trainer():
     (cfg, spec, state, images, labels, perm_stack, rel,
      steps_per_epoch) = _setup(variant="vae")
     assert cfg.vae_recon == "bce" and cfg.d_steps == 0
+
+    many_xla = jax.jit(step_lib.build_many_steps(spec, cfg,
+                                                 steps_per_epoch))
+    s_xla, m_xla = many_xla(dict(state), images, labels, perm_stack, rel)
+
+    many_fused = build_fused_many_steps(spec, cfg, steps_per_epoch,
+                                        interpret=True)
+    s_f, m_f = many_fused(dict(state), images, labels, perm_stack, rel)
+
+    assert set(m_f) == set(m_xla)
+    for k in m_xla:
+        np.testing.assert_allclose(np.asarray(m_f[k]), np.asarray(m_xla[k]),
+                                   rtol=2e-4, atol=2e-5)
+    for side in ("params", "opt"):
+        for a, b_ in zip(jax.tree.leaves(s_f[side]),
+                         jax.tree.leaves(s_xla[side])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-4, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(s_f["rng"]),
+                                  np.asarray(s_xla["rng"]))
+
+
+@pytest.mark.parametrize("recon", ["mse", "bce"])
+def test_fused_birvae_chunk_matches_xla_trainer(recon):
+    """BIR-VAE: mean-only encoder, hand-derived batch-norm backward
+    (batch-coupled moments), fixed-variance channel, MSE (paper
+    default) and BCE reconstructions — must track the XLA
+    single-model step.
+
+    adam_eps pinned like ragan/fishergan: the latent BN makes the
+    enc_mu BIAS gradient exactly zero in math (a uniform latent shift
+    is removed by the mean subtraction), so at the default eps Adam
+    normalizes the fp residual of that cancellation into O(lr) drift
+    on both sides; with a sane eps the 8-step trajectories agree."""
+    (cfg, spec, state, images, labels, perm_stack, rel,
+     steps_per_epoch) = _setup(variant="birvae", vae_recon=recon,
+                               adam_eps=1e-3)
+    assert cfg.d_steps == 0
 
     many_xla = jax.jit(step_lib.build_many_steps(spec, cfg,
                                                  steps_per_epoch))
