@@ -51,9 +51,11 @@ sharing the flagship MLP G/D architecture —
 - vae / birvae (the non-adversarial members — separate single-model
   kernels below),
 
-i.e. ALL 14 variants, with arch="mlp", adam|rmsprop, any d_steps, no
-spectral/EMA. The Trainer picks this path via ``Config.fused_step``;
-everything else keeps the general builder, refused with the reason.
+i.e. ALL 14 variants, with arch="mlp", adam|rmsprop, any d_steps, and
+(for the adversarial members) the G-EMA hook carried in-kernel as one
+extra VMEM-resident state plane; no spectral projection. The Trainer
+picks this path via ``Config.fused_step``; everything else keeps the
+general builder, refused with the reason.
 
 Numerics: same math as the XLA step (logit-stable BCE gradients
 sigma(l)-target, optax-convention Adam m-hat/(sqrt(v-hat)+eps), torch-
@@ -113,7 +115,7 @@ def _make_kernel(steps: int, ds: int, b: int, bp: int, kz: int, kh: int,
                  fisher_rho: float = 0.0, khd: int = 0,
                  began_gamma: float = 0.0, began_lambda_k: float = 0.0,
                  q_cat: int = 0, q_cont: int = 0,
-                 info_lam: float = 0.0):
+                 info_lam: float = 0.0, ema_decay: float = 0.0):
     """See module docstring. Ref layout:
 
     inputs:  xs [steps*ds*bp, kx] (ANY), zd [steps*ds*bp, kz] (ANY),
@@ -642,6 +644,15 @@ def _make_kernel(steps: int, ds: int, b: int, bp: int, kz: int, kh: int,
             update(s_g_w2, dW2g, tg, g_lr, False)
             update(s_g_b2, db2g * brow0_x, tg, g_lr, False)
 
+            if ema_decay > 0.0:
+                # G EMA rides as one extra VMEM-resident plane on the
+                # four G state tensors (train/step.py::_ema_update
+                # semantics, applied after every G update)
+                ei = 3 if optimizer == "adam" else 2
+                for ref in (s_g_w1, s_g_b1, s_g_w2, s_g_b2):
+                    ref[ei] = (ema_decay * ref[ei]
+                               + (1.0 - ema_decay) * ref[0])
+
             if variant == "began":
                 # k_t control law (losses/began.py step_state_update):
                 # uses the LAST critic step's L(x) (d_real) and this
@@ -698,13 +709,13 @@ def _make_kernel(steps: int, ds: int, b: int, bp: int, kz: int, kh: int,
     "eps", "slope", "variant", "optimizer", "clip", "dtype", "gp_lam",
     "n_cls", "fgan_div", "fgan_ns", "fisher_rho", "dh_true",
     "began_gamma", "began_lambda_k", "q_cat", "q_cont", "info_lam",
-    "interpret"))
+    "ema_decay", "interpret"))
 def _fused_chunk_call(xs, zds, zgs, xtra, packed, t_base, vs0, *,
                       steps, ds, b, dims, x_true, g_lr, d_lr, b1, b2,
                       eps, slope, variant, optimizer, clip, dtype,
                       gp_lam, n_cls, fgan_div, fgan_ns, fisher_rho,
                       dh_true=0, began_gamma=0.0, began_lambda_k=0.0,
-                      q_cat=0, q_cont=0, info_lam=0.0,
+                      q_cat=0, q_cont=0, info_lam=0.0, ema_decay=0.0,
                       interpret=False):
     """packed: tuple of 8 [pd, R, C] padded state tensors (see kernel).
     xs/zds: [steps*ds*bp, kx/kz]; zgs: [steps*bp, kz] padded streams;
@@ -751,7 +762,7 @@ def _fused_chunk_call(xs, zds, zgs, xtra, packed, t_base, vs0, *,
                           optimizer, clip, dtype, gp_lam, n_cls, zin,
                           xtra_lanes, fgan_div, fgan_ns, fisher_rho,
                           khd, began_gamma, began_lambda_k,
-                          q_cat, q_cont, info_lam)
+                          q_cat, q_cont, info_lam, ema_decay)
     res = pl.pallas_call(
         kernel,
         in_specs=in_specs,
@@ -949,6 +960,9 @@ def build_fused_many_steps(spec, cfg, steps_per_epoch: int,
             g_planes = [g_p, g_opt0.nu]
             d_planes = [d_p, d_opt0.nu]
             t_base = jnp.zeros((1, 2), jnp.int32)
+        ema = cfg.ema_decay > 0
+        if ema:   # G EMA is one extra plane on the G state tensors
+            g_planes = g_planes + [state["g_ema"]]
 
         def planes_w(planes, li):
             return [pl_[li]["w"] for pl_ in planes]
@@ -1018,6 +1032,7 @@ def build_fused_many_steps(spec, cfg, steps_per_epoch: int,
                 began_lambda_k=cfg.began_lambda_k if began else 0.0,
                 q_cat=qc, q_cont=qn,
                 info_lam=cfg.info_lambda if info else 0.0,
+                ema_decay=cfg.ema_decay,
                 interpret=interpret)
             t_n = t_c + jnp.array([[sub, sub * ds]], jnp.int32)
             # scalar variant state rides out through metrics lane 7
@@ -1060,6 +1075,10 @@ def build_fused_many_steps(spec, cfg, steps_per_epoch: int,
             return g_side, d_side
 
         g_params, d_params = plane(0)
+        if ema:    # the EMA plane exists on the G tensors only
+            ei = 3 if adam else 2
+            g_ema = [{"w": gw1[ei], "b": gb1[ei]},
+                     {"w": gw2[ei], "b": gb2[ei]}]
         if adam:
             g_mu, d_mu = plane(1)
             g_nu, d_nu = plane(2)
@@ -1088,6 +1107,8 @@ def build_fused_many_steps(spec, cfg, steps_per_epoch: int,
             "step": state["step"] + steps,
             "rng": rng_out,
         }
+        if ema:
+            new_state["g_ema"] = g_ema
         if cfg.variant == "wgan":
             out_metrics = {
                 "d_loss": metrics[:, 0],
@@ -1186,8 +1207,11 @@ def fused_step_supported(spec, cfg) -> Tuple[bool, str]:
                            "builder")
         if 1 + cfg.info_cat_dim + 2 * cfg.info_cont_dim > 128:
             return False, "fused infogan head exceeds 128 lanes"
-    if cfg.spectral_projection or cfg.ema_decay > 0:
-        return False, "fused_step excludes spectral/EMA hooks"
+    if cfg.spectral_projection:
+        return False, "fused_step excludes the spectral projection hook"
+    # ema_decay > 0 is supported: the EMA rides as one extra
+    # VMEM-resident state plane (G-side for adversarial variants,
+    # all tensors for vae/birvae)
     # dtype: float32, or bfloat16 (MXU operands cast, f32 accumulate)
     if cfg.dp > 1 or cfg.tp > 1:
         return False, "fused_step is single-device (use dp/tp paths)"
@@ -1202,7 +1226,8 @@ def fused_step_supported(spec, cfg) -> Tuple[bool, str]:
 
 def _make_vae_kernel(steps: int, b: int, bp: int, kx: int, kh: int,
                      kl_: int, x_true: int, lr: float, b1: float,
-                     b2: float, eps: float, dtype: str = "float32"):
+                     b2: float, eps: float, dtype: str = "float32",
+                     ema_decay: float = 0.0):
     """Single-objective fused chunk: encoder (relu trunk + mu/logvar
     heads), reparameterization z = mu + exp(lv/2)*eps_n, Bernoulli
     decoder with per-pixel logit-BCE summed per sample + closed-form
@@ -1277,7 +1302,11 @@ def _make_vae_kernel(steps: int, b: int, bp: int, kx: int, kh: int,
             ref[2] = v
             mhat = m / (1.0 - _pow(b1, t))
             vhat = v / (1.0 - _pow(b2, t))
-            ref[0] = ref[0] - lr * mhat / (jnp.sqrt(vhat) + eps)
+            p = ref[0] - lr * mhat / (jnp.sqrt(vhat) + eps)
+            ref[0] = p
+            if ema_decay > 0.0:   # EMA plane (train/step.py semantics:
+                ref[3] = (ema_decay * ref[3]   # leafwise, post-update)
+                          + (1.0 - ema_decay) * p)
 
         def softplus(u):
             return jnp.maximum(u, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(u)))
@@ -1391,9 +1420,10 @@ def _make_vae_kernel(steps: int, b: int, bp: int, kx: int, kh: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "steps", "b", "dims", "lr", "b1", "b2", "eps", "dtype", "interpret"))
+    "steps", "b", "dims", "lr", "b1", "b2", "eps", "dtype", "ema_decay",
+    "interpret"))
 def _fused_vae_chunk_call(xs, eps_n, packed, t_base, *, steps, b, dims,
-                          lr, b1, b2, eps, dtype, interpret):
+                          lr, b1, b2, eps, dtype, ema_decay, interpret):
     xdim, hdim, ldim = dims
     kx, kh, kl_ = _ru(xdim, 128), _ru(hdim, 128), _ru(ldim, 128)
     bp = _ru(max(b, 8), 8)
@@ -1414,7 +1444,7 @@ def _fused_vae_chunk_call(xs, eps_n, packed, t_base, *, steps, b, dims,
         pltpu.SemaphoreType.DMA((2,)),
     ]
     kernel = _make_vae_kernel(steps, b, bp, kx, kh, kl_, xdim, lr, b1,
-                              b2, eps, dtype)
+                              b2, eps, dtype, ema_decay)
     res = pl.pallas_call(
         kernel,
         in_specs=in_specs,
@@ -1477,6 +1507,9 @@ def build_fused_vae_many_steps(spec, cfg, steps_per_epoch: int,
         p = state["params"]
         opt0, *rest = state["opt"]
         planes = [p, opt0.mu, opt0.nu]
+        ema = cfg.ema_decay > 0
+        if ema:   # EMA rides as plane 3 on every state tensor
+            planes = planes + [state["ema"]]
 
         def pw(get, r, c):
             return _pack_w([get(pl_) for pl_ in planes], r, c)
@@ -1506,7 +1539,8 @@ def build_fused_vae_many_steps(spec, cfg, steps_per_epoch: int,
                 xs, eps_n, packed_c, t_c,
                 steps=sub, b=b, dims=(xdim, hdim, ldim),
                 lr=cfg.g_lr, b1=cfg.adam_b1, b2=cfg.adam_b2,
-                eps=cfg.adam_eps, dtype=cfg.dtype, interpret=interpret)
+                eps=cfg.adam_eps, dtype=cfg.dtype,
+                ema_decay=cfg.ema_decay, interpret=interpret)
             return (new_p, t_c + jnp.int32(sub), rng_n), m
 
         if sub == steps:
@@ -1518,11 +1552,13 @@ def build_fused_vae_many_steps(spec, cfg, steps_per_epoch: int,
                 rel_offsets.reshape(steps // sub, sub))
             metrics = metrics.reshape(steps, 128)
 
+        np_ = len(planes)
+
         def unw(t, r, c):
-            return [t[i, :r, :c] for i in range(3)]
+            return [t[i, :r, :c] for i in range(np_)]
 
         def unb(t, c):
-            return [t[i, 0, :c] for i in range(3)]
+            return [t[i, 0, :c] for i in range(np_)]
 
         tr_w, tr_b = unw(new_packed[0], xdim, hdim), unb(new_packed[1], hdim)
         mu_w, mu_b = unw(new_packed[2], hdim, ldim), unb(new_packed[3], ldim)
@@ -1548,6 +1584,8 @@ def build_fused_vae_many_steps(spec, cfg, steps_per_epoch: int,
             "step": state["step"] + steps,
             "rng": rng_out,
         }
+        if ema:
+            new_state["ema"] = plane(3)
         out_metrics = {
             "loss": metrics[:, 0],
             "recon_loss": metrics[:, 1],
@@ -1566,7 +1604,8 @@ def _make_birvae_kernel(steps: int, b: int, bp: int, kx: int, kh: int,
                         kl_: int, x_true: int, l_true: int, lr: float,
                         b1: float, b2: float, eps: float,
                         sigma_n: float, recon: str,
-                        dtype: str = "float32"):
+                        dtype: str = "float32",
+                        ema_decay: float = 0.0):
     """BIR-VAE (losses/birvae.py) as a fused chunk: mean-only encoder,
     zero-mean unit-power batch normalization of the latent (no learned
     params; biased batch moments E[x^2]-E[x]^2 per dim), fixed-variance
@@ -1646,7 +1685,11 @@ def _make_birvae_kernel(steps: int, b: int, bp: int, kx: int, kh: int,
             ref[2] = v
             mhat = m / (1.0 - _pow(b1, t))
             vhat = v / (1.0 - _pow(b2, t))
-            ref[0] = ref[0] - lr * mhat / (jnp.sqrt(vhat) + eps)
+            p = ref[0] - lr * mhat / (jnp.sqrt(vhat) + eps)
+            ref[0] = p
+            if ema_decay > 0.0:   # EMA plane (train/step.py semantics:
+                ref[3] = (ema_decay * ref[3]   # leafwise, post-update)
+                          + (1.0 - ema_decay) * p)
 
         def softplus(u):
             return jnp.maximum(u, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(u)))
@@ -1766,10 +1809,10 @@ def _make_birvae_kernel(steps: int, b: int, bp: int, kx: int, kh: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "steps", "b", "dims", "lr", "b1", "b2", "eps", "sigma_n", "recon",
-    "dtype", "interpret"))
+    "dtype", "ema_decay", "interpret"))
 def _fused_birvae_chunk_call(xs, eps_n, packed, t_base, *, steps, b,
                              dims, lr, b1, b2, eps, sigma_n, recon,
-                             dtype, interpret):
+                             dtype, ema_decay, interpret):
     xdim, hdim, ldim = dims
     kx, kh, kl_ = _ru(xdim, 128), _ru(hdim, 128), _ru(ldim, 128)
     bp = _ru(max(b, 8), 8)
@@ -1790,7 +1833,8 @@ def _fused_birvae_chunk_call(xs, eps_n, packed, t_base, *, steps, b,
         pltpu.SemaphoreType.DMA((2,)),
     ]
     kernel = _make_birvae_kernel(steps, b, bp, kx, kh, kl_, xdim, ldim,
-                                 lr, b1, b2, eps, sigma_n, recon, dtype)
+                                 lr, b1, b2, eps, sigma_n, recon, dtype,
+                                 ema_decay)
     res = pl.pallas_call(
         kernel,
         in_specs=in_specs,
@@ -1851,6 +1895,9 @@ def build_fused_birvae_many_steps(spec, cfg, steps_per_epoch: int,
         p = state["params"]
         opt0, *rest = state["opt"]
         planes = [p, opt0.mu, opt0.nu]
+        ema = cfg.ema_decay > 0
+        if ema:   # EMA rides as plane 3 on every state tensor
+            planes = planes + [state["ema"]]
 
         def pw(get, r, c):
             return _pack_w([get(pl_) for pl_ in planes], r, c)
@@ -1880,7 +1927,7 @@ def build_fused_birvae_many_steps(spec, cfg, steps_per_epoch: int,
                 lr=cfg.g_lr, b1=cfg.adam_b1, b2=cfg.adam_b2,
                 eps=cfg.adam_eps, sigma_n=sigma_n,
                 recon=cfg.vae_recon, dtype=cfg.dtype,
-                interpret=interpret)
+                ema_decay=cfg.ema_decay, interpret=interpret)
             return (new_p, t_c + jnp.int32(sub), rng_n), m
 
         if sub == steps:
@@ -1892,11 +1939,13 @@ def build_fused_birvae_many_steps(spec, cfg, steps_per_epoch: int,
                 rel_offsets.reshape(steps // sub, sub))
             metrics = metrics.reshape(steps, 128)
 
+        np_ = len(planes)
+
         def unw(t, r, c):
-            return [t[i, :r, :c] for i in range(3)]
+            return [t[i, :r, :c] for i in range(np_)]
 
         def unb(t, c):
-            return [t[i, 0, :c] for i in range(3)]
+            return [t[i, 0, :c] for i in range(np_)]
 
         tr_w, tr_b = unw(new_packed[0], xdim, hdim), unb(new_packed[1], hdim)
         mu_w, mu_b = unw(new_packed[2], hdim, ldim), unb(new_packed[3], ldim)
@@ -1918,6 +1967,8 @@ def build_fused_birvae_many_steps(spec, cfg, steps_per_epoch: int,
             "step": state["step"] + steps,
             "rng": rng_out,
         }
+        if ema:
+            new_state["ema"] = plane(3)
         out_metrics = {
             "loss": metrics[:, 0],
             "recon_loss": metrics[:, 1],

@@ -107,6 +107,37 @@ def test_fused_chunk_matches_xla_trainer(variant):
     assert int(s_f["step"]) == int(s_xla["step"]) == STEPS
 
 
+@pytest.mark.parametrize("variant", ["nsgan", "wgan", "vae", "birvae"])
+def test_fused_ema_matches_xla_trainer(variant):
+    """EMA as an in-kernel state plane: nsgan covers the adam G-plane
+    index (3), wgan the rmsprop one (2) plus the d_steps=5 loop, and
+    vae/birvae the single-model kernels (EMA on every tensor). The
+    ema trajectory must track train/step.py::_ema_update exactly."""
+    kw = {"adam_eps": 1e-3} if variant == "birvae" else {}
+    (cfg, spec, state, images, labels, perm_stack, rel,
+     steps_per_epoch) = _setup(variant=variant, ema_decay=0.99, **kw)
+    ema_key = "g_ema" if cfg.d_steps > 0 else "ema"
+    assert ema_key in state
+
+    many_xla = jax.jit(step_lib.build_many_steps(spec, cfg,
+                                                 steps_per_epoch))
+    s_xla, _ = many_xla(dict(state), images, labels, perm_stack, rel)
+
+    many_fused = build_fused_many_steps(spec, cfg, steps_per_epoch,
+                                        interpret=True)
+    s_f, _ = many_fused(dict(state), images, labels, perm_stack, rel)
+
+    sides = (("g_params", "d_params", ema_key) if cfg.d_steps > 0
+             else ("params", ema_key))
+    for side in sides:
+        for a, b_ in zip(jax.tree.leaves(s_f[side]),
+                         jax.tree.leaves(s_xla[side])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-4, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(s_f["rng"]),
+                                  np.asarray(s_xla["rng"]))
+
+
 def test_fused_step_support_matrix():
     spec = get_variant("nsgan")
     ok, _ = fused_step_supported(spec, variant_config("nsgan"))
@@ -126,8 +157,14 @@ def test_fused_step_support_matrix():
         ok, _ = fused_step_supported(get_variant(good),
                                      variant_config(good))
         assert ok
+    # EMA rides in-kernel as an extra state plane for every variant
+    for good_ema in ("nsgan", "vae"):
+        ok, _ = fused_step_supported(
+            get_variant(good_ema),
+            variant_config(good_ema, ema_decay=0.99))
+        assert ok
     for bad in (variant_config("nsgan", g_hidden_act="tanh"),
-                variant_config("nsgan", ema_decay=0.99),
+                variant_config("nsgan", spectral_projection=True),
                 variant_config("nsgan", arch="conv"),
                 variant_config("nsgan", dp=2),
                 variant_config("infogan", info_cont_fixed_var=False)):
