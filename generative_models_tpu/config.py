@@ -156,11 +156,19 @@ class Config:
     # VMEM-resident across steps — eliminating the per-step parameter/
     # optimizer HBM round-trip that bounds the XLA step (~16 MB/step,
     # step_anatomy's "Adam HBM ≈ speed of light" budget), and the
-    # per-op-kernel crossover loss with it. Flagship scope: nsgan,
-    # mlp, d_steps=1, adam, threefry, single device (the bench
-    # config); the trainer refuses unsupported combinations with the
-    # reason (ops/pallas_train.fused_step_supported).
-    fused_step: bool = False
+    # per-op-kernel crossover loss with it. Covers all 14 variants on
+    # the mlp stacks, single device.
+    #   "auto" (default): use the kernel iff the config is in its
+    #     support matrix AND running single-device on a real TPU AND
+    #     the variant is one the fenced chip sweep measured at >= XLA
+    #     parity (BASELINE.md fused-kernel table: geomean 1.109x;
+    #     wgan 0.815x / birvae 0.917x are the measured opt-outs);
+    #     otherwise fall back to the XLA step silently.
+    #   True: force the kernel; the trainer refuses unsupported
+    #     combinations with the reason
+    #     (ops/pallas_train.fused_step_supported).
+    #   False: always the XLA step.
+    fused_step: "bool | str" = "auto"
     # When use_pallas is on: 0 = no batch bound; a positive bound
     # restricts the kernel to batches <= bound.
     pallas_max_batch: int = 0
@@ -234,6 +242,10 @@ class Config:
         if self.prng_impl not in ("threefry", "rbg", "unsafe_rbg"):
             raise ValueError(
                 f"prng_impl must be threefry|rbg|unsafe_rbg, got {self.prng_impl!r}")
+        if self.fused_step not in (True, False, "auto"):
+            raise ValueError(
+                f"fused_step must be True|False|'auto', got "
+                f"{self.fused_step!r}")
         if self.fgan_g_loss not in ("saturating", "nonsaturating"):
             raise ValueError(
                 f"fgan_g_loss must be saturating|nonsaturating, got "

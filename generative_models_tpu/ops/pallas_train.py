@@ -1180,6 +1180,38 @@ def build_fused_many_steps(spec, cfg, steps_per_epoch: int,
     return many_steps
 
 
+# Variants the fenced per-variant chip sweep measured at >= XLA parity
+# (BASELINE.md fused-kernel table, benchmarks/fused_sweep.json: geomean
+# 1.109x). wgan (0.815x: d_steps=5 multiplies the pre-gathered stream
+# traffic) and birvae (0.917x: its XLA step is the fastest in the zoo,
+# below the kernel's per-step latency floor) stay on the XLA step under
+# "auto".
+FUSED_AUTO_WINNERS = tuple(v for v in FUSED_VARIANTS
+                           if v not in ("wgan", "birvae"))
+
+
+def resolve_fused_step(spec, cfg, mesh=None) -> bool:
+    """Resolve ``Config.fused_step`` ("auto" | bool) to a concrete
+    choice. ``True`` forces the kernel (the trainer raises if
+    unsupported); ``False`` forces the XLA step; "auto" picks the
+    kernel only where it is supported, single-device, on a real TPU
+    (off-TPU it would run in Pallas interpret mode), and measured to
+    win (``FUSED_AUTO_WINNERS``)."""
+    if cfg.fused_step is True:
+        return True
+    if not cfg.fused_step or cfg.fused_step != "auto":
+        return False
+    if mesh is not None:
+        return False
+    if cfg.variant not in FUSED_AUTO_WINNERS:
+        return False
+    ok, _ = fused_step_supported(spec, cfg)
+    if not ok:
+        return False
+    from generative_models_tpu.ops.linear import default_platform
+    return default_platform() == "tpu"
+
+
 def fused_step_supported(spec, cfg) -> Tuple[bool, str]:
     """(ok, reason). The fused chunk covers the flagship configuration
     family; anything else keeps the general builder."""

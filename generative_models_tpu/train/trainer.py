@@ -183,11 +183,15 @@ class Trainer:
             raise ValueError("dataset smaller than one training step")
         self.rows_per_epoch = self.steps_per_epoch * self.rows_per_step
 
-        if cfg.fused_step:
+        from generative_models_tpu.ops.pallas_train import resolve_fused_step
+        if resolve_fused_step(self.spec, cfg, self.mesh):
             from generative_models_tpu.ops.linear import default_platform
             from generative_models_tpu.ops.pallas_train import (
                 build_fused_many_steps, fused_step_supported,
             )
+            # fused_step=True forces the kernel: refuse unsupported
+            # configs with the reason ("auto" resolved False for them
+            # already and never reaches this branch)
             ok, reason = fused_step_supported(self.spec, cfg)
             if not ok or self.mesh is not None:
                 raise ValueError(

@@ -172,6 +172,67 @@ def test_fused_step_support_matrix():
         assert not ok and reason
 
 
+def test_resolve_fused_step_auto_policy(monkeypatch):
+    """fused_step="auto" (the default) picks the kernel only where the
+    fenced chip sweep measured it at >= XLA parity (BASELINE.md),
+    single-device, on a real TPU; explicit bools always win."""
+    from generative_models_tpu.ops import pallas_train as pt
+    from generative_models_tpu.ops import linear as linear_mod
+
+    def on(platform):
+        monkeypatch.setattr(linear_mod, "default_platform",
+                            lambda: platform)
+
+    spec = get_variant("nsgan")
+    cfg = variant_config("nsgan")
+    assert cfg.fused_step == "auto"
+
+    on("tpu")
+    assert pt.resolve_fused_step(spec, cfg) is True
+    # measured losers stay on the XLA step under auto
+    for loser in ("wgan", "birvae"):
+        assert pt.resolve_fused_step(
+            get_variant(loser), variant_config(loser)) is False
+    # unsupported configs fall back silently (no raise)
+    assert pt.resolve_fused_step(
+        spec, variant_config("nsgan", spectral_projection=True)) is False
+    assert pt.resolve_fused_step(
+        get_variant("nsgan"), variant_config("nsgan", arch="conv"),
+    ) is False
+    # mesh-parallel runs keep the dp/tp paths
+    assert pt.resolve_fused_step(spec, cfg, mesh=object()) is False
+
+    # off-TPU, auto resolves to the XLA step (interpret mode is for
+    # tests that force fused_step=True)
+    on("cpu")
+    assert pt.resolve_fused_step(spec, cfg) is False
+
+    # explicit bools win regardless of platform/measurement
+    assert pt.resolve_fused_step(
+        get_variant("wgan"),
+        variant_config("wgan", fused_step=True)) is True
+    on("tpu")
+    assert pt.resolve_fused_step(
+        spec, variant_config("nsgan", fused_step=False)) is False
+
+
+def test_fused_step_auto_validated():
+    with pytest.raises(ValueError, match="fused_step"):
+        variant_config("nsgan", fused_step="yes")
+
+
+def test_trainer_auto_is_xla_on_cpu(tiny_data):
+    """On the CPU harness the default config must build the general
+    XLA step (auto never selects interpret-mode Pallas)."""
+    from generative_models_tpu.train.trainer import Trainer
+    from tests.conftest import tiny_cfg
+
+    t = Trainer(config=tiny_cfg("nsgan", scan_steps=2), data=tiny_data)
+    assert t.cfg.fused_step == "auto"
+    h = t.train(steps=2)
+    assert np.all(np.isfinite(np.asarray(h["d_loss"])))
+
+
 def test_trainer_runs_fused_step(tiny_data):
     """End-to-end through the Trainer: --fused-step trains, losses are
     finite, and the trajectory matches the default path step-for-step
@@ -197,8 +258,13 @@ def test_trainer_refuses_unsupported_fused_step(tiny_data):
     from generative_models_tpu.train.trainer import Trainer
     from tests.conftest import tiny_cfg
 
+    # spectral_projection composes into the d_post hook, which the
+    # kernel excludes — forcing fused_step=True there must refuse with
+    # the reason (ema_decay is NOT a refusal anymore: the EMA rides
+    # in-kernel as an extra state plane)
     with pytest.raises(ValueError, match="fused_step"):
-        Trainer(config=tiny_cfg("nsgan", fused_step=True, ema_decay=0.9),
+        Trainer(config=tiny_cfg("nsgan", fused_step=True,
+                                spectral_projection=True),
                 data=tiny_data)
 
 
