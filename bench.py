@@ -27,7 +27,11 @@ BATCH = 100
 HIDDEN = 400
 Z_DIM = 128
 TORCH_STEPS = 120
-SCAN = 16000
+# scan 8000, not 16000: steady-state rate is identical (BASELINE.md:
+# the workload plateaus past scan=8000) but the fused kernel's cold
+# Mosaic compile is roughly half — keeps the whole bench inside the
+# driver's time budget on a cold cache.
+SCAN = 8000
 JAX_WARMUP = SCAN
 JAX_STEPS = 5 * SCAN
 

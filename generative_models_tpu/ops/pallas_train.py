@@ -805,6 +805,29 @@ def _pick_sub(steps: int, per_step_bytes: int) -> int:
     return 1
 
 
+def _pad_dataset(images, kx):
+    """Lane-pad the HBM-resident dataset once per chunk dispatch and
+    append one all-zero row (the batch-pad gather target). The pad is
+    loop-invariant, so XLA hoists it out of the sub-chunk scan: its
+    cost is per chunk (~40 MB copy per multi-thousand-step dispatch),
+    not per step. Keeps the storage dtype (uint8 stays uint8; decode
+    happens post-gather exactly as in train/step.py)."""
+    n, xdim = images.shape
+    return jnp.pad(images, ((0, 1), (0, kx - xdim)))
+
+
+def _gather_padded(images_p, idx, groups, b, bp):
+    """Gather batch rows straight into the padded (groups*bp, kx)
+    stream layout the kernel consumes: per-group pad indices point at
+    the appended all-zero row, so the result is bit-identical to
+    gather-then-pad while skipping the materializing pad copy of the
+    full stream (measured ~8.6 us/step of the wgan ds=5 prologue)."""
+    n = images_p.shape[0] - 1
+    idx_pad = jnp.pad(idx.reshape(groups, b), ((0, 0), (0, bp - b)),
+                      constant_values=n)
+    return jnp.take(images_p, idx_pad.reshape(-1), axis=0)
+
+
 def _pack_w(planes, r, c):
     return jnp.stack([_pad2(p, r, c) for p in planes])
 
@@ -850,12 +873,17 @@ def build_fused_many_steps(spec, cfg, steps_per_epoch: int,
     adam = cfg.optimizer == "adam"
     has_xtra = cfg.variant in ("dragan", "wgangp")
     xtra_lanes = kx if cfg.variant == "dragan" else 128
+    # x stream goes through the zero-copy padded gather unless the
+    # variant needs the raw rows first (cgan: onehot concat changes
+    # the lane layout; dragan: per-batch std + perturbation)
+    plain_x = n_cls == 0 and cfg.variant != "dragan"
 
     def many_steps(state, images, labels, perm_stack, rel_offsets):
         steps = rel_offsets.shape[0]
         per_step_bytes = (ds * bp * (kx + kz) * 4 + bp * kz * 4
                           + (ds * bp * xtra_lanes * 4 if has_xtra else 0))
         sub = _pick_sub(steps, per_step_bytes)
+        images_p = _pad_dataset(images, kx) if plain_x else None
 
         def idx_one(rel_offset):
             e = rel_offset // rows_per_epoch
@@ -871,8 +899,13 @@ def build_fused_many_steps(spec, cfg, steps_per_epoch: int,
             # bit-identical to the per-step draws (vmap of normal over
             # a key batch == stacked per-key normals).
             idx = jax.vmap(idx_one)(rel_sub).reshape(-1)
-            xr = decode_images(jnp.take(images, idx, axis=0))
-            xr = xr.reshape(sub * ds, b, xdim)
+            if plain_x:
+                xs = decode_images(
+                    _gather_padded(images_p, idx, sub * ds, b, bp))
+                xr = None
+            else:
+                xr = decode_images(jnp.take(images, idx, axis=0))
+                xr = xr.reshape(sub * ds, b, xdim)
 
             def chain(r, _):
                 r, d_key, g_key = jax.random.split(r, 3)
@@ -937,8 +970,9 @@ def build_fused_many_steps(spec, cfg, steps_per_epoch: int,
                 oh_g = oh.reshape(sub, ds, b, n_cls)[:, -1]
                 zgs = jnp.concatenate([zgs, oh_g], axis=-1)
 
-            xs = jnp.pad(xr, ((0, 0), (0, bp - b), (0, kx - xin)))
-            xs = xs.reshape(sub * ds * bp, kx)
+            if not plain_x:
+                xs = jnp.pad(xr, ((0, 0), (0, bp - b), (0, kx - xin)))
+                xs = xs.reshape(sub * ds * bp, kx)
             zds = jnp.pad(zds, ((0, 0), (0, bp - b), (0, kz - zin)))
             zds = zds.reshape(sub * ds * bp, kz)
             zgs = jnp.pad(zgs, ((0, 0), (0, bp - b), (0, kz - zin)))
@@ -1180,14 +1214,18 @@ def build_fused_many_steps(spec, cfg, steps_per_epoch: int,
     return many_steps
 
 
-# Variants the fenced per-variant chip sweep measured at >= XLA parity
-# (BASELINE.md fused-kernel table, benchmarks/fused_sweep.json: geomean
-# 1.109x). wgan (0.815x: d_steps=5 multiplies the pre-gathered stream
-# traffic) and birvae (0.917x: its XLA step is the fastest in the zoo,
-# below the kernel's per-step latency floor) stay on the XLA step under
-# "auto".
-FUSED_AUTO_WINNERS = tuple(v for v in FUSED_VARIANTS
-                           if v not in ("wgan", "birvae"))
+# Variants the LATEST fenced per-variant chip sweep measured at
+# >= XLA parity (BASELINE.md fused-kernel table,
+# benchmarks/fused_sweep.json: geomean 1.03, nothing below 0.98).
+# Margins are host-session-dependent (BASELINE.md keeps both sweeps):
+# on the current fast host the structural wins are the stream-traffic
+# variants the zero-copy padded gather targets — wgan (1.207x: ds=5
+# multiplies the stream) and birvae (1.155x) — while fgan/began/
+# dragan/fishergan sit 0.98-1.00x (ties within tunnel noise; XLA is
+# the tie-breaker for the simpler path).
+FUSED_AUTO_WINNERS = tuple(
+    v for v in FUSED_VARIANTS
+    if v not in ("fgan", "began", "dragan", "fishergan"))
 
 
 def resolve_fused_step(spec, cfg, mesh=None) -> bool:
@@ -1509,6 +1547,7 @@ def build_fused_vae_many_steps(spec, cfg, steps_per_epoch: int,
     def many_steps(state, images, labels, perm_stack, rel_offsets):
         steps = rel_offsets.shape[0]
         sub = _pick_sub(steps, bp * (kx + kl_) * 4)
+        images_p = _pad_dataset(images, kx)
 
         def idx_one(rel_offset):
             e = rel_offset // rows_per_epoch
@@ -1519,10 +1558,7 @@ def build_fused_vae_many_steps(spec, cfg, steps_per_epoch: int,
             # replay train/step.py::build_single_step's rng chain —
             # sequential key chain, batched normal draws (bit-identical)
             idx = jax.vmap(idx_one)(rel_sub).reshape(-1)
-            xs = decode_images(jnp.take(images, idx, axis=0))
-            xs = xs.reshape(sub, b, xdim)
-            xs = jnp.pad(xs, ((0, 0), (0, bp - b), (0, kx - xdim)))
-            xs = xs.reshape(sub * bp, kx)
+            xs = decode_images(_gather_padded(images_p, idx, sub, b, bp))
 
             def chain(r, _):
                 r, key = jax.random.split(r)
@@ -1898,6 +1934,7 @@ def build_fused_birvae_many_steps(spec, cfg, steps_per_epoch: int,
     def many_steps(state, images, labels, perm_stack, rel_offsets):
         steps = rel_offsets.shape[0]
         sub = _pick_sub(steps, bp * (kx + kl_) * 4)
+        images_p = _pad_dataset(images, kx)
 
         def idx_one(rel_offset):
             e = rel_offset // rows_per_epoch
@@ -1907,10 +1944,7 @@ def build_fused_birvae_many_steps(spec, cfg, steps_per_epoch: int,
         def gather_noise(rng, rel_sub):
             # replay train/step.py::build_single_step's rng chain
             idx = jax.vmap(idx_one)(rel_sub).reshape(-1)
-            xs = decode_images(jnp.take(images, idx, axis=0))
-            xs = xs.reshape(sub, b, xdim)
-            xs = jnp.pad(xs, ((0, 0), (0, bp - b), (0, kx - xdim)))
-            xs = xs.reshape(sub * bp, kx)
+            xs = decode_images(_gather_padded(images_p, idx, sub, b, bp))
 
             def chain(r, _):
                 r, key = jax.random.split(r)
