@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--steps", type=int, default=6000)
     ap.add_argument("--scan", type=int, default=1000)
     ap.add_argument("--n", type=int, default=2048)
+    # spectral-rescue re-validation (VERDICT r1 #2: the 3-seed conv
+    # rescues must reproduce under whatever sn_mode is the default)
+    ap.add_argument("--spectral-projection", action="store_true")
+    ap.add_argument("--sn-target", type=float, default=None)
     args = ap.parse_args()
 
     import numpy as np
@@ -49,8 +53,13 @@ def main():
     for variant in args.variants:
         per_seed = []
         for seed in args.seeds:
+            extra = {}
+            if args.spectral_projection:
+                extra["spectral_projection"] = True
+            if args.sn_target is not None:
+                extra["sn_target"] = args.sn_target
             cfg = variant_config(variant, scan_steps=args.scan, seed=seed,
-                                 arch=args.arch)
+                                 arch=args.arch, **extra)
             t = Trainer(config=cfg, data=raw)
             t.train(steps=args.steps, sample_every=-1)
             s = t.sample(args.n)
@@ -63,6 +72,12 @@ def main():
                   flush=True)
         row = {"variant": variant, "arch": args.arch, "steps": args.steps,
                "seeds": args.seeds}
+        # record the constraint actually in effect (explicit flag OR an
+        # arch-conditional override like began-conv's), and which sigma
+        # estimator produced it — so rescue rows are self-describing
+        if cfg.spectral_projection:
+            row["spectral"] = {"sn_target": cfg.sn_target,
+                               "sn_mode": cfg.sn_mode}
         for key in ("is_score", "fid"):
             vals = np.array([s[key] for s in per_seed])
             row[key + "_mean"] = round(float(vals.mean()), 4)
@@ -79,13 +94,22 @@ def main():
             data = json.load(f)
         # accept the pre-schema-fix bare-list form too
         existing = data["rows"] if isinstance(data, dict) else data
-    merged = {(r["variant"], r.get("arch", "mlp")): r for r in existing}
-    merged.update({(r["variant"], r["arch"]): r for r in rows})
+    def key(r):
+        # explicit-spectral rows live beside, not over, the plain rows
+        # (began-conv's default-override spectral row replaces its old
+        # plain row deliberately: that IS the variant's conv default now)
+        sp = r.get("spectral")
+        return (r["variant"], r.get("arch", "mlp"),
+                sp["sn_target"] if sp and r["variant"] != "began" else None)
+
+    merged = {key(r): r for r in existing}
+    merged.update({key(r): r for r in rows})
     with open(out, "w") as f:
         # same {"rows": [...]} envelope as the sibling quality files
         # (gallery.py's _load_rows convention)
         json.dump({"rows": sorted(merged.values(),
-                                  key=lambda r: (r["variant"], r["arch"]))},
+                                  key=lambda r: (r["variant"], r["arch"],
+                                                 str(r.get("spectral"))))},
                   f, indent=1)
     print(f"wrote {out}")
 
