@@ -69,6 +69,15 @@ def main():
         row["ratio"] = round(row["fused"] / row["xla"], 3)
         results[v] = {k: round(val, 3) if k == "ratio" else round(val, 1)
                       for k, val in row.items()}
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "fused_sweep.json")
+    # a --variants subset MERGES into the existing table (a single
+    # re-measured variant must not erase the other 13 rows)
+    if os.path.isfile(path) and len(results) < len(VARIANTS):
+        with open(path) as f:
+            prev = json.load(f).get("variants", {})
+        prev.update(results)
+        results = prev
     out = {
         "config": {"batch": BATCH, "hidden": HIDDEN, "z": Z_DIM,
                    "scan": args.scan, "prng": args.prng,
@@ -79,8 +88,6 @@ def main():
                 [__import__("numpy").log(r["ratio"])
                  for r in results.values()]))), 3),
     }
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "fused_sweep.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))

@@ -875,8 +875,10 @@ def build_fused_many_steps(spec, cfg, steps_per_epoch: int,
     xtra_lanes = kx if cfg.variant == "dragan" else 128
     # x stream goes through the zero-copy padded gather unless the
     # variant needs the raw rows first (cgan: onehot concat changes
-    # the lane layout; dragan: per-batch std + perturbation)
-    plain_x = n_cls == 0 and cfg.variant != "dragan"
+    # the lane layout). dragan's per-batch std + perturbation are
+    # computed directly on the padded stream (masked two-pass moments;
+    # padded entries are zero so the mean needs no mask).
+    plain_x = n_cls == 0
 
     def many_steps(state, images, labels, perm_stack, rel_offsets):
         steps = rel_offsets.shape[0]
@@ -940,11 +942,23 @@ def build_fused_many_steps(spec, cfg, steps_per_epoch: int,
                 if cfg.variant == "dragan":
                     u = jax.vmap(lambda r: jax.random.uniform(
                         r, (b, xdim)))(aux_keys)
-                    stds = jnp.std(xr, axis=(1, 2))     # per critic batch
-                    xh = xr + (cfg.dragan_noise_scale
-                               * stds[:, None, None] * u)
-                    xh = jnp.pad(xh,
-                                 ((0, 0), (0, bp - b), (0, kx - xdim)))
+                    # per-critic-batch std on the PADDED stream (the
+                    # zero-copy gather layout): padded entries are 0,
+                    # so the sum-mean divides by the true count; the
+                    # squared deviations mask out padded entries.
+                    # Reduction order differs from jnp.std(xr) only —
+                    # within the fused-vs-XLA parity tolerance.
+                    xg = xs.reshape(sub * ds, bp, kx)
+                    cnt = float(b * xdim)
+                    mean = jnp.sum(xg, axis=(1, 2)) / cnt
+                    mask = jnp.zeros((bp, kx), jnp.float32)
+                    mask = mask.at[:b, :xdim].set(1.0)
+                    var = jnp.sum(mask * (xg - mean[:, None, None]) ** 2,
+                                  axis=(1, 2)) / cnt
+                    stds = jnp.sqrt(var)                # per critic batch
+                    u_p = jnp.pad(u, ((0, 0), (0, bp - b), (0, kx - xdim)))
+                    xh = xg + (cfg.dragan_noise_scale
+                               * stds[:, None, None]) * u_p
                     xtra = xh.reshape(sub * ds * bp, kx)
                 else:                                   # wgangp eps
                     eps_u = jax.vmap(lambda r: jax.random.uniform(
@@ -1216,16 +1230,17 @@ def build_fused_many_steps(spec, cfg, steps_per_epoch: int,
 
 # Variants the LATEST fenced per-variant chip sweep measured at
 # >= XLA parity (BASELINE.md fused-kernel table,
-# benchmarks/fused_sweep.json: geomean 1.03, nothing below 0.98).
+# benchmarks/fused_sweep.json: geomean 1.04, nothing below 0.98).
 # Margins are host-session-dependent (BASELINE.md keeps both sweeps):
 # on the current fast host the structural wins are the stream-traffic
 # variants the zero-copy padded gather targets — wgan (1.207x: ds=5
-# multiplies the stream) and birvae (1.155x) — while fgan/began/
-# dragan/fishergan sit 0.98-1.00x (ties within tunnel noise; XLA is
+# multiplies the stream), dragan (1.168x once its std/perturbation
+# moved onto the padded stream) and birvae (1.155x) — while fgan/
+# began/fishergan sit 0.98-1.00x (ties within tunnel noise; XLA is
 # the tie-breaker for the simpler path).
 FUSED_AUTO_WINNERS = tuple(
     v for v in FUSED_VARIANTS
-    if v not in ("fgan", "began", "dragan", "fishergan"))
+    if v not in ("fgan", "began", "fishergan"))
 
 
 def resolve_fused_step(spec, cfg, mesh=None) -> bool:

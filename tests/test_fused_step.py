@@ -190,11 +190,11 @@ def test_resolve_fused_step_auto_policy(monkeypatch):
     on("tpu")
     assert pt.resolve_fused_step(spec, cfg) is True
     # structural winners of the latest sweep ride the kernel
-    for winner in ("wgan", "birvae"):
+    for winner in ("wgan", "birvae", "dragan"):
         assert pt.resolve_fused_step(
             get_variant(winner), variant_config(winner)) is True
     # sub-parity ties stay on the XLA step under auto
-    for loser in ("fgan", "began", "dragan", "fishergan"):
+    for loser in ("fgan", "began", "fishergan"):
         assert pt.resolve_fused_step(
             get_variant(loser), variant_config(loser)) is False
     # unsupported configs fall back silently (no raise)
