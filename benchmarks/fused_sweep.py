@@ -69,6 +69,11 @@ def main():
         row["ratio"] = round(row["fused"] / row["xla"], 3)
         results[v] = {k: round(val, 3) if k == "ratio" else round(val, 1)
                       for k, val in row.items()}
+        # per-row provenance: a later --variants subset merge must not
+        # imply the surviving rows were measured under ITS run config
+        # (ADVICE r2)
+        results[v]["measured_under"] = {
+            "scan": args.scan, "prng": args.prng, "backend_alive": alive}
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "fused_sweep.json")
     # a --variants subset MERGES into the existing table (a single
@@ -79,6 +84,8 @@ def main():
         prev.update(results)
         results = prev
     out = {
+        # top-level config = the LATEST run; rows carry their own
+        # measured_under provenance when a subset merge mixes sessions
         "config": {"batch": BATCH, "hidden": HIDDEN, "z": Z_DIM,
                    "scan": args.scan, "prng": args.prng,
                    "backend_alive": alive},

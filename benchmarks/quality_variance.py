@@ -95,12 +95,23 @@ def main():
         # accept the pre-schema-fix bare-list form too
         existing = data["rows"] if isinstance(data, dict) else data
     def key(r):
-        # explicit-spectral rows live beside, not over, the plain rows
-        # (began-conv's default-override spectral row replaces its old
-        # plain row deliberately: that IS the variant's conv default now)
+        # explicit-spectral rows live beside, not over, the plain rows.
+        # Exception: a spectral row that IS the variant's shipped
+        # arch=conv default (CONV_VARIANT_OVERRIDES) replaces the plain
+        # row — any OTHER sn_target lives beside it (ADVICE r2: keying
+        # all began spectral rows to None would let a future explicit
+        # re-validation at a different target silently replace the
+        # default row).
+        from generative_models_tpu.config import CONV_VARIANT_OVERRIDES
         sp = r.get("spectral")
+        if not sp:
+            return (r["variant"], r.get("arch", "mlp"), None)
+        ov = (CONV_VARIANT_OVERRIDES.get(r["variant"], {})
+              if r.get("arch", "mlp") == "conv" else {})
+        is_shipped_default = (ov.get("spectral_projection")
+                              and ov.get("sn_target") == sp["sn_target"])
         return (r["variant"], r.get("arch", "mlp"),
-                sp["sn_target"] if sp and r["variant"] != "began" else None)
+                None if is_shipped_default else sp["sn_target"])
 
     merged = {key(r): r for r in existing}
     merged.update({key(r): r for r in rows})

@@ -107,6 +107,57 @@ def test_fused_chunk_matches_xla_trainer(variant):
     assert int(s_f["step"]) == int(s_xla["step"]) == STEPS
 
 
+def test_dragan_row_pad_parity():
+    """b=12 pads to bp=16: the padded-stream std (sum-mean over the
+    zero pad ROWS, masked squared deviations) must still match the XLA
+    step's jnp.std over the true batch. The parametrized case above
+    uses b=16 (bp=16) and so only exercises LANE padding; the headline
+    config b=100→bp=104 takes this row-pad branch (ADVICE r2)."""
+    (cfg, spec, state, images, labels, perm_stack, rel,
+     steps_per_epoch) = _setup(b=12, variant="dragan")
+    many_xla = jax.jit(step_lib.build_many_steps(spec, cfg,
+                                                 steps_per_epoch))
+    s_xla, m_xla = many_xla(dict(state), images, labels, perm_stack, rel)
+    many_fused = build_fused_many_steps(spec, cfg, steps_per_epoch,
+                                        interpret=True)
+    s_f, m_f = many_fused(dict(state), images, labels, perm_stack, rel)
+    for k in m_xla:
+        np.testing.assert_allclose(np.asarray(m_f[k]), np.asarray(m_xla[k]),
+                                   rtol=2e-4, atol=2e-5)
+    for side in ("g_params", "d_params"):
+        for a, b_ in zip(jax.tree.leaves(s_f[side]),
+                         jax.tree.leaves(s_xla[side])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("storage", ["float32", "uint8"])
+def test_pad_row_decodes_to_exact_zero(storage):
+    """The padded-gather invariant dragan's sum-mean std rests on
+    (ops/pallas_train.py::_gather_padded): the appended pad row must
+    decode to EXACTLY 0.0 for every supported storage dtype — a future
+    mean-centering decode or new storage dtype would silently corrupt
+    the masked moments (ADVICE r2)."""
+    from generative_models_tpu.ops.pallas_train import (
+        _gather_padded, _pad_dataset)
+    from generative_models_tpu.train.step import decode_images
+
+    dt = jnp.uint8 if storage == "uint8" else jnp.float32
+    images = (jnp.arange(4 * 784, dtype=jnp.float32)
+              .reshape(4, 784) % 251).astype(dt)
+    images_p = _pad_dataset(images, 896)
+    assert images_p.dtype == dt          # storage dtype preserved
+    # the pad row is the appended last row; b=3 -> bp=8 gathers it 5x
+    idx = jnp.array([0, 1, 2, 3, 0, 1], dtype=jnp.int32)
+    out = decode_images(_gather_padded(images_p, idx, 2, 3, 8))
+    out = np.asarray(out.reshape(2, 8, 896))
+    np.testing.assert_array_equal(out[:, 3:, :], 0.0)   # pad rows
+    np.testing.assert_array_equal(out[:, :, 784:], 0.0)  # pad lanes
+    # true rows decode exactly as the unpadded path
+    ref = np.asarray(decode_images(jnp.take(images, idx, axis=0)))
+    np.testing.assert_array_equal(out[:, :3, :784].reshape(6, 784), ref)
+
+
 @pytest.mark.parametrize("variant", ["nsgan", "wgan", "vae", "birvae"])
 def test_fused_ema_matches_xla_trainer(variant):
     """EMA as an in-kernel state plane: nsgan covers the adam G-plane
