@@ -105,6 +105,360 @@ def _pow(base: float, t):
     return jnp.exp(t * float(np.log(base)))
 
 
+# ------------------------------------------------------------------
+# Shared kernel math — used by the whole-chunk monolith (_make_kernel)
+# AND the per-phase DP gradient kernels (ops/pallas_dp.py)
+# ------------------------------------------------------------------
+
+def _softplus(u):
+    return jnp.maximum(u, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(u)))
+
+
+def _leaky(u, slope):
+    return jnp.where(u >= 0, u, slope * u)
+
+
+def _dleaky(h, slope):
+    return jnp.where(h >= 0, 1.0, slope)
+
+
+# f-GAN (g_f, g_f', f*, f*') table — hand derivatives of losses/fgan.py
+# (Nowozin Tables 2/6). All elementwise; padded lanes give finite junk
+# (checked per pair) and are masked out by the callers.
+_FGAN_TABLE = {
+    "total_variation": (
+        lambda v: 0.5 * jnp.tanh(v),
+        lambda v: 0.5 * (1.0 - jnp.tanh(v) ** 2),
+        lambda t: t,
+        lambda t: jnp.ones_like(t)),
+    "kl": (
+        lambda v: v,
+        lambda v: jnp.ones_like(v),
+        lambda t: jnp.exp(t - 1.0),
+        lambda t: jnp.exp(t - 1.0)),
+    "reverse_kl": (
+        lambda v: -jnp.exp(-v),
+        lambda v: jnp.exp(-v),
+        lambda t: -1.0 - jnp.log(-t),
+        lambda t: -1.0 / t),
+    "pearson": (
+        lambda v: v,
+        lambda v: jnp.ones_like(v),
+        lambda t: 0.25 * t * t + t,
+        lambda t: 0.5 * t + 1.0),
+    "squared_hellinger": (
+        lambda v: 1.0 - jnp.exp(-v),
+        lambda v: jnp.exp(-v),
+        lambda t: t / (1.0 - t),
+        lambda t: 1.0 / (1.0 - t) ** 2),
+    "jensen_shannon": (
+        lambda v: jnp.log(2.0) - _softplus(-v),
+        lambda v: jax.nn.sigmoid(-v),
+        lambda t: -jnp.log(2.0 - jnp.exp(t)),
+        lambda t: jnp.exp(t) / (2.0 - jnp.exp(t))),
+    "gan": (
+        lambda v: -_softplus(-v),
+        lambda v: jax.nn.sigmoid(-v),
+        lambda t: -jnp.log(1.0 - jnp.exp(t)),
+        lambda t: jnp.exp(t) / (1.0 - jnp.exp(t))),
+}
+
+
+def _make_dots(dtype: str):
+    """(dotT_lhs, dotT_rhs, mm) with the Config.dtype="bfloat16" MXU
+    operand cast (params/grads/accumulation stay f32 via
+    preferred_element_type — the v5e MXU runs bf16 ~4x f32)."""
+    cdt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+
+    def dotT_lhs(a, g):   # aᵀ g : contract batch
+        return jax.lax.dot_general(
+            a.astype(cdt), g.astype(cdt), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def dotT_rhs(g, w):   # g wᵀ : contract features
+        return jax.lax.dot_general(
+            g.astype(cdt), w.astype(cdt), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def mm(a, w):
+        return jnp.dot(a.astype(cdt), w.astype(cdt),
+                       preferred_element_type=jnp.float32)
+
+    return dotT_lhs, dotT_rhs, mm
+
+
+def _cgan_selector(zin, n_cls, x_true, kz, kx):
+    """cgan: constant selection matrix moving the onehot block of a
+    z-space row (lanes zdim..zdim+n_cls) to the x-space onehot lanes
+    (x_true..x_true+n_cls) with one matmul — lane permutation on the
+    MXU, no unaligned vector shifts. Call inside a kernel body."""
+    zdim_t = zin - n_cls
+    mr = jax.lax.broadcasted_iota(jnp.int32, (kz, kx), 0)
+    mc = jax.lax.broadcasted_iota(jnp.int32, (kz, kx), 1)
+    return ((mc - mr == x_true - zdim_t) & (mr >= zdim_t)
+            & (mr < zin)).astype(jnp.float32)
+
+
+def _gp_backward(xh, w1d, b1d, w2d, *, lane0, rowm, inv_b, gp_lam,
+                 slope, mm, dotT_lhs, dotT_rhs):
+    """Hand-derived gradient-penalty double-backward (dragan/wgangp;
+    _make_kernel docstring math). Given the penalty point xh returns
+    (dW1d_add, dW2d_add, gp, grad_norm_mean); db1 = db2 = 0 a.e."""
+    hh = mm(xh, w1d) + b1d
+    dph = _dleaky(hh, slope)                      # [bp,kh]
+    w2row = dotT_rhs(lane0[0:1, :], w2d)          # [1,kh]
+    u_pen = dph * w2row
+    g_pen = dotT_rhs(u_pen, w1d)                  # [bp,kx]
+    sq = jnp.sum(g_pen * g_pen, axis=1, keepdims=True)
+    nrm = jnp.sqrt(sq + 1e-12)                    # [bp,1]
+    gp_m = gp_lam * jnp.sum(rowm * (nrm - 1.0) ** 2) * inv_b
+    gnorm_m = jnp.sum(rowm * nrm) * inv_b
+    cpen = (2.0 * gp_lam * inv_b) * (nrm - 1.0) / nrm * rowm
+    dW1_add = dotT_lhs(g_pen * cpen, u_pen)
+    s_pen = mm(g_pen, w1d)                        # [bp,kh]
+    dW2_add = dotT_lhs(cpen * dph * s_pen, lane0)
+    return dW1_add, dW2_add, gp_m, gnorm_m
+
+
+def _make_variant_hooks(*, variant, b, bp, kl, x_true, zin, inv_b,
+                        slope, fgan_div, fgan_ns, fisher_rho,
+                        q_cat, q_cont, info_lam, mm, rowm, lane0, xcols):
+    """The per-variant dL/dlogit hooks — the loss math of losses/*.py
+    hand-derived at the logit boundary, shared by the whole-chunk
+    monolith kernel and the per-phase DP gradient kernels. MUST be
+    called inside a pallas kernel body (infogan materializes iota
+    masks). Returns (d_hook, g_hook):
+
+    d_hook(lr_, lf, x, fake_d, zdk, lam) ->
+        (glr, glf, d_loss, d_real, d_fake, aux6, lam')
+      lr_/lf: real/fake head outputs [bp,kl]; x: real rows; fake_d:
+      D-input fake rows; zdk: the z/code rows (infogan MI targets);
+      lam: carried scalar (fishergan λ pre-descent / began k_t).
+    g_hook(lf2, zgk, fake2, lam, lr2=None) ->
+        (gl, g_loss, aux6, dx_extra)
+      lr2: post-update critic on the last real batch (ragan only);
+      dx_extra: began's direct L1 path into the fake pixels (None
+      elsewhere).
+    """
+    if variant == "fgan":
+        gf, gfp, fstar, fstarp = _FGAN_TABLE[fgan_div]
+
+    if variant == "infogan":
+        # head lane map (combined d_head ⊕ q_head in kl=128):
+        #   lane 0            D logit
+        #   lanes 1..1+cat    Q categorical logits
+        #   lanes ..+cont     Q continuous mean
+        #   lanes ..+cont     Q continuous logvar (fixed-var: no
+        #                     gradient, lanes ride along untouched)
+        # The MI targets (cat onehot, cont values) live in the z-row at
+        # lanes zdim..zdim+cat+cont — one constant selection matmul
+        # moves them to the matching head lanes.
+        zdim_q = zin - q_cat - q_cont
+        kz_q = _ru(zin, 128)
+        lane_q = jax.lax.broadcasted_iota(jnp.int32, (bp, kl), 1)
+        catm = ((lane_q >= 1) & (lane_q < 1 + q_cat)
+                ).astype(jnp.float32)
+        mum = ((lane_q >= 1 + q_cat)
+               & (lane_q < 1 + q_cat + q_cont)).astype(jnp.float32)
+        mr_q = jax.lax.broadcasted_iota(jnp.int32, (kz_q, kl), 0)
+        mc_q = jax.lax.broadcasted_iota(jnp.int32, (kz_q, kl), 1)
+        mselq = ((mc_q - mr_q == 1 - zdim_q) & (mr_q >= zdim_q)
+                 & (mr_q < zin)).astype(jnp.float32)
+        inv_bc = inv_b / float(max(q_cont, 1))
+
+        def q_grads_loss(lf_, zrow):
+            """MI gradient w.r.t. the combined head output + the MI
+            value (CE + fixed-var Gaussian NLL) for one batch of fake
+            logits lf_ and its code row zrow."""
+            tq = mm(zrow, mselq)                 # targets in head space
+            qm = jnp.where(catm > 0, lf_, -1e30)
+            mx = jnp.max(qm, axis=1, keepdims=True)
+            ex = jnp.exp(qm - mx) * catm
+            ssum = jnp.sum(ex, axis=1, keepdims=True)
+            sm = ex / ssum
+            logsm = lf_ - mx - jnp.log(ssum)
+            ce = -jnp.sum(logsm * tq * catm * rowm) * inv_b
+            nll = 0.5 * jnp.sum(
+                (tq - lf_) ** 2 * mum * rowm) * inv_bc
+            gq = (info_lam * (sm - tq) * catm * rowm * inv_b
+                  + info_lam * (lf_ - tq) * mum * rowm * inv_bc)
+            return gq, ce + nll
+
+    def d_hook(lr_, lf, x, fake_d, zdk, lam):
+        d_real = d_fake_m = aux6_m = jnp.float32(0.0)
+        if variant == "lsgan":
+            glr = (lr_ - 1.0) * lane0 * rowm * inv_b
+            glf = lf * lane0 * rowm * inv_b
+            d_loss = (0.5 * jnp.sum((lr_ - 1.0) ** 2 * lane0 * rowm)
+                      + 0.5 * jnp.sum(lf * lf * lane0 * rowm)
+                      ) * inv_b
+        elif variant in ("wgan", "wgangp"):  # E[D(f)] - E[D(r)]
+            glr = -lane0 * rowm * inv_b
+            glf = lane0 * rowm * inv_b
+            d_loss = jnp.sum((lf - lr_) * lane0 * rowm) * inv_b
+        elif variant == "fgan":
+            # L_D = -E[g_f(lr)] + E[f*(g_f(lf))]
+            t_f = gf(lf)
+            glr = -gfp(lr_) * lane0 * rowm * inv_b
+            glf = fstarp(t_f) * gfp(lf) * lane0 * rowm * inv_b
+            d_loss = (-jnp.sum(gf(lr_) * lane0 * rowm)
+                      + jnp.sum(fstar(t_f) * lane0 * rowm)
+                      ) * inv_b
+        elif variant == "fishergan":
+            # IPM + variance constraint via the augmented Lagrangian
+            # (losses/fishergan.py):
+            #   L_D = -(ipm + lam*c - rho/2 c^2), c = 1 - Omega
+            # The constraint couples the batch; hand-derived:
+            #   dL/dfr_i = ( -1 + (lam - rho*c) fr_i ) / B
+            #   dL/dff_j = (  1 + (lam - rho*c) ff_j ) / B
+            # computed with the PRE-update lam; lam descends rho*c
+            # after (d_state_update per critic step).
+            ipm_ = jnp.sum((lr_ - lf) * lane0 * rowm) * inv_b
+            om_ = 0.5 * jnp.sum(
+                (lr_ * lr_ + lf * lf) * lane0 * rowm) * inv_b
+            c_ = 1.0 - om_
+            mu_f = lam - fisher_rho * c_
+            glr = (-1.0 + mu_f * lr_) * lane0 * rowm * inv_b
+            glf = (1.0 + mu_f * lf) * lane0 * rowm * inv_b
+            d_loss = -(ipm_ + lam * c_
+                       - 0.5 * fisher_rho * c_ * c_)
+            d_real = ipm_          # metrics lane 1: ipm
+            d_fake_m = om_         # metrics lane 2: omega
+            aux6_m = c_            # metrics lane 6: constraint
+            lam = lam - fisher_rho * c_
+        elif variant == "began":
+            # AE critic (losses/began.py): lr_/lf are recon LOGITS
+            # [bp,kx]; recon = sigmoid masked to the true pixel lanes
+            # (same padding rule as the G head). Per-sample pixel-mean
+            # L1 energy; L_D = L(x) - k_t * L(G(z)), k_t = carried lam.
+            rr = jax.nn.sigmoid(lr_) * xcols
+            rf = jax.nn.sigmoid(lf) * xcols
+            inv_bx = inv_b / float(x_true)
+            l_real = jnp.sum(jnp.abs(x - rr) * rowm) * inv_bx
+            l_fake = jnp.sum(
+                jnp.abs(fake_d - rf) * rowm) * inv_bx
+            d_loss = l_real - lam * l_fake
+            # d|v-r|/dlogit = sign(r-v) * r(1-r) (a.e., sign convention
+            # matching jax.grad of abs)
+            glr = (jnp.sign(rr - x) * rr * (1.0 - rr)
+                   * rowm * inv_bx)
+            glf = (-lam) * (jnp.sign(rf - fake_d)
+                            * rf * (1.0 - rf) * rowm * inv_bx)
+            d_real = l_real       # metrics lane 1
+            d_fake_m = l_fake     # metrics lane 2
+        elif variant == "ragan":
+            # relativistic-average BCE; the batch means couple every
+            # logit's gradient (hand-derived:
+            # dL/dlr_k = (σ(dr_k)-1)/b - B/b,  B = mean σ(df)
+            # dL/dlf_k = (σ(df_k)-A)/b,  A = mean(σ(dr)-1))
+            m_f = jnp.sum(lf * lane0 * rowm) * inv_b
+            m_r = jnp.sum(lr_ * lane0 * rowm) * inv_b
+            dr = lr_ - m_f
+            df = lf - m_r
+            sdr = jax.nn.sigmoid(dr)
+            sdf = jax.nn.sigmoid(df)
+            a_ = jnp.sum((sdr - 1.0) * lane0 * rowm) * inv_b
+            b_ = jnp.sum(sdf * lane0 * rowm) * inv_b
+            glr = ((sdr - 1.0) - b_) * lane0 * rowm * inv_b
+            glf = (sdf - a_) * lane0 * rowm * inv_b
+            d_loss = (jnp.sum(_softplus(-dr) * lane0 * rowm)
+                      + jnp.sum(_softplus(df) * lane0 * rowm)
+                      ) * inv_b
+        elif variant == "infogan":
+            # BCE on the D lane + MI lower bound on the Q lanes
+            # (losses/infogan.py): both read the SAME combined head
+            # output on the fake batch, so one glf vector carries both
+            # gradients into the shared trunk.
+            gq, mi = q_grads_loss(lf, zdk)
+            glr = (jax.nn.sigmoid(lr_) - 1.0
+                   ) * lane0 * rowm * inv_b
+            glf = (jax.nn.sigmoid(lf) * lane0 * rowm * inv_b
+                   + gq)
+            bce_ = (jnp.sum(_softplus(-lr_) * lane0 * rowm)
+                    + jnp.sum(_softplus(lf) * lane0 * rowm)
+                    ) * inv_b
+            d_loss = bce_ + info_lam * mi
+            d_real = mi           # metrics lane 1: mi_loss
+        else:                     # BCE critic (nsgan/mmgan/cgan/dragan)
+            glr = (jax.nn.sigmoid(lr_) - 1.0) * lane0 * rowm * inv_b
+            glf = jax.nn.sigmoid(lf) * lane0 * rowm * inv_b
+            d_loss = (jnp.sum(_softplus(-lr_) * lane0 * rowm)
+                      + jnp.sum(_softplus(lf) * lane0 * rowm)
+                      ) * inv_b
+        if variant not in ("fishergan", "began", "infogan"):
+            # fisher/began repurpose lanes 1/2 (set in-branch)
+            d_real = jnp.sum(lr_ * lane0 * rowm) * inv_b
+            d_fake_m = jnp.sum(lf * lane0 * rowm) * inv_b
+        return glr, glf, d_loss, d_real, d_fake_m, aux6_m, lam
+
+    def g_hook(lf2, zgk, fake2, lam, lr2=None):
+        aux6_m = jnp.float32(0.0)
+        dx_extra = None
+        if variant == "lsgan":      # ½E[(D(G(z))-1)²]
+            gl = (lf2 - 1.0) * lane0 * rowm * inv_b
+            g_loss = 0.5 * jnp.sum(
+                (lf2 - 1.0) ** 2 * lane0 * rowm) * inv_b
+        elif variant in ("wgan", "wgangp", "fishergan"):
+            # -E[D(G(z))] (fisher's G minimizes the plain IPM too)
+            gl = -lane0 * rowm * inv_b
+            g_loss = -jnp.sum(lf2 * lane0 * rowm) * inv_b
+        elif variant == "mmgan":    # saturating: min -softplus(l)
+            gl = -jax.nn.sigmoid(lf2) * lane0 * rowm * inv_b
+            g_loss = -jnp.sum(_softplus(lf2) * lane0 * rowm) * inv_b
+        elif variant == "began":
+            # L_G = L(G(z)) through the post-update AE critic. Two
+            # paths into fake2: the direct |fake - AE(fake)| term
+            # (dx_extra) and the one through the AE (gl).
+            rf2 = jax.nn.sigmoid(lf2) * xcols
+            inv_bx = inv_b / float(x_true)
+            s2 = jnp.sign(fake2 - rf2) * rowm * inv_bx
+            g_loss = jnp.sum(jnp.abs(fake2 - rf2) * rowm) * inv_bx
+            gl = -s2 * rf2 * (1.0 - rf2)
+            dx_extra = s2
+        elif variant == "fgan":
+            t_f2 = gf(lf2)
+            if fgan_ns:             # Nowozin §3.2: max E[g_f]
+                gl = -gfp(lf2) * lane0 * rowm * inv_b
+                g_loss = -jnp.sum(t_f2 * lane0 * rowm) * inv_b
+            else:                   # paper: min -E[f*(g_f)]
+                gl = (-fstarp(t_f2) * gfp(lf2)
+                      * lane0 * rowm * inv_b)
+                g_loss = -jnp.sum(
+                    fstar(t_f2) * lane0 * rowm) * inv_b
+        elif variant == "ragan":
+            # L_G touches REAL data: lr2 = post-update critic on the
+            # LAST critic batch (train/step.py:189). Only lf2 depends
+            # on G: dL_G/dlf2_k = (σ(df2_k)-1)/b - mean(σ(dr2))/b
+            m_f2 = jnp.sum(lf2 * lane0 * rowm) * inv_b
+            m_r2 = jnp.sum(lr2 * lane0 * rowm) * inv_b
+            dr2 = lr2 - m_f2
+            df2 = lf2 - m_r2
+            abar = jnp.sum(
+                jax.nn.sigmoid(dr2) * lane0 * rowm) * inv_b
+            gl = ((jax.nn.sigmoid(df2) - 1.0) - abar
+                  ) * lane0 * rowm * inv_b
+            g_loss = (jnp.sum(_softplus(-df2) * lane0 * rowm)
+                      + jnp.sum(_softplus(dr2) * lane0 * rowm)
+                      ) * inv_b
+        elif variant == "infogan":
+            # heuristic BCE toward real + the same MI bound (the MI
+            # gradient reaches G through the Q lanes AND the fake
+            # pixels — both ride the one gl vector through the shared
+            # trunk backward)
+            gq2, mi2 = q_grads_loss(lf2, zgk)
+            gl = ((jax.nn.sigmoid(lf2) - 1.0)
+                  * lane0 * rowm * inv_b + gq2)
+            g_loss = (jnp.sum(_softplus(-lf2) * lane0 * rowm)
+                      * inv_b + info_lam * mi2)
+            aux6_m = mi2              # metrics lane 6: g_mi_loss
+        else:                       # nsgan heuristic: BCE(l, 1)
+            gl = (jax.nn.sigmoid(lf2) - 1.0) * lane0 * rowm * inv_b
+            g_loss = jnp.sum(_softplus(-lf2) * lane0 * rowm) * inv_b
+        return gl, g_loss, aux6_m, dx_extra
+
+    return d_hook, g_hook
+
+
 def _make_kernel(steps: int, ds: int, b: int, bp: int, kz: int, kh: int,
                  kx: int, kl: int, x_true: int, g_lr: float, d_lr: float,
                  b1: float, b2: float, eps: float, slope: float,
@@ -209,75 +563,16 @@ def _make_kernel(steps: int, ds: int, b: int, bp: int, kz: int, kh: int,
         brow0_l = (jax.lax.broadcasted_iota(jnp.int32, (8, kl), 0)
                    == 0).astype(jnp.float32)
 
+        # MXU helpers (bf16 operand cast per Config.dtype) + the
+        # per-variant dL/dlogit hooks shared with ops/pallas_dp.py
+        dotT_lhs, dotT_rhs, mm = _make_dots(dtype)
         if n_cls > 0:
-            # cgan: constant selection matrix moving the onehot block of
-            # a z-space row (lanes zdim..zdim+n_cls) to the x-space
-            # onehot lanes (x_true..x_true+n_cls) with one matmul —
-            # lane permutation on the MXU, no unaligned vector shifts.
-            zdim_t = zin - n_cls
-            mr = jax.lax.broadcasted_iota(jnp.int32, (kz, kx), 0)
-            mc = jax.lax.broadcasted_iota(jnp.int32, (kz, kx), 1)
-            msel = ((mc - mr == x_true - zdim_t) & (mr >= zdim_t)
-                    & (mr < zin)).astype(jnp.float32)
-
-        if variant == "infogan":
-            # head lane map (combined d_head ⊕ q_head in kl=128):
-            #   lane 0            D logit
-            #   lanes 1..1+cat    Q categorical logits
-            #   lanes ..+cont     Q continuous mean
-            #   lanes ..+cont     Q continuous logvar (fixed-var: no
-            #                     gradient, lanes ride along untouched)
-            # The MI targets (cat onehot, cont values) live in the
-            # z-row at lanes zdim..zdim+cat+cont — one constant
-            # selection matmul moves them to the matching head lanes.
-            zdim_q = zin - q_cat - q_cont
-            lane_q = jax.lax.broadcasted_iota(jnp.int32, (bp, kl), 1)
-            catm = ((lane_q >= 1) & (lane_q < 1 + q_cat)
-                    ).astype(jnp.float32)
-            mum = ((lane_q >= 1 + q_cat)
-                   & (lane_q < 1 + q_cat + q_cont)).astype(jnp.float32)
-            mr_q = jax.lax.broadcasted_iota(jnp.int32, (kz, kl), 0)
-            mc_q = jax.lax.broadcasted_iota(jnp.int32, (kz, kl), 1)
-            mselq = ((mc_q - mr_q == 1 - zdim_q) & (mr_q >= zdim_q)
-                     & (mr_q < zin)).astype(jnp.float32)
-            inv_bc = inv_b / float(max(q_cont, 1))
-
-            def q_grads_loss(lf_, zrow):
-                """MI gradient w.r.t. the combined head output + the
-                MI value (CE + fixed-var Gaussian NLL) for one batch
-                of fake logits lf_ and its code row zrow."""
-                tq = mm(zrow, mselq)                 # targets in head space
-                qm = jnp.where(catm > 0, lf_, -1e30)
-                mx = jnp.max(qm, axis=1, keepdims=True)
-                ex = jnp.exp(qm - mx) * catm
-                ssum = jnp.sum(ex, axis=1, keepdims=True)
-                sm = ex / ssum
-                logsm = lf_ - mx - jnp.log(ssum)
-                ce = -jnp.sum(logsm * tq * catm * rowm) * inv_b
-                nll = 0.5 * jnp.sum(
-                    (tq - lf_) ** 2 * mum * rowm) * inv_bc
-                gq = (info_lam * (sm - tq) * catm * rowm * inv_b
-                      + info_lam * (lf_ - tq) * mum * rowm * inv_bc)
-                return gq, ce + nll
-
-        # Config.dtype="bfloat16" casts MXU operands only (params,
-        # grads, optimizer state stay f32; accumulation is f32 via
-        # preferred_element_type) — the v5e MXU runs bf16 ~4x f32.
-        cdt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
-
-        def dotT_lhs(a, g):   # aᵀ g : contract batch
-            return jax.lax.dot_general(
-                a.astype(cdt), g.astype(cdt), (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-
-        def dotT_rhs(g, w):   # g wᵀ : contract features
-            return jax.lax.dot_general(
-                g.astype(cdt), w.astype(cdt), (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-
-        def mm(a, w):
-            return jnp.dot(a.astype(cdt), w.astype(cdt),
-                           preferred_element_type=jnp.float32)
+            msel = _cgan_selector(zin, n_cls, x_true, kz, kx)
+        d_hook, g_hook = _make_variant_hooks(
+            variant=variant, b=b, bp=bp, kl=kl, x_true=x_true, zin=zin,
+            inv_b=inv_b, slope=slope, fgan_div=fgan_div, fgan_ns=fgan_ns,
+            fisher_rho=fisher_rho, q_cat=q_cat, q_cont=q_cont,
+            info_lam=info_lam, mm=mm, rowm=rowm, lane0=lane0, xcols=xcols)
 
         def update(ref, grad, t, lr, is_critic):
             """In-place optimizer step on a packed state ref."""
@@ -298,58 +593,11 @@ def _make_kernel(steps: int, ds: int, b: int, bp: int, kz: int, kh: int,
                 p = jnp.clip(p, -clip, clip)
             ref[0] = p
 
-        def softplus(u):
-            return jnp.maximum(u, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(u)))
-
         def leaky(u):
-            return jnp.where(u >= 0, u, slope * u)
+            return _leaky(u, slope)
 
         def dleaky(h):
-            return jnp.where(h >= 0, 1.0, slope)
-
-        if variant == "fgan":
-            # (g_f, f*) pairs + hand derivatives (losses/fgan.py,
-            # Nowozin Tables 2/6). All elementwise; padded lanes give
-            # finite junk (checked per pair) and are masked out.
-            sig = jax.nn.sigmoid
-            _FD = {
-                "total_variation": (
-                    lambda v: 0.5 * jnp.tanh(v),
-                    lambda v: 0.5 * (1.0 - jnp.tanh(v) ** 2),
-                    lambda t: t,
-                    lambda t: jnp.ones_like(t)),
-                "kl": (
-                    lambda v: v,
-                    lambda v: jnp.ones_like(v),
-                    lambda t: jnp.exp(t - 1.0),
-                    lambda t: jnp.exp(t - 1.0)),
-                "reverse_kl": (
-                    lambda v: -jnp.exp(-v),
-                    lambda v: jnp.exp(-v),
-                    lambda t: -1.0 - jnp.log(-t),
-                    lambda t: -1.0 / t),
-                "pearson": (
-                    lambda v: v,
-                    lambda v: jnp.ones_like(v),
-                    lambda t: 0.25 * t * t + t,
-                    lambda t: 0.5 * t + 1.0),
-                "squared_hellinger": (
-                    lambda v: 1.0 - jnp.exp(-v),
-                    lambda v: jnp.exp(-v),
-                    lambda t: t / (1.0 - t),
-                    lambda t: 1.0 / (1.0 - t) ** 2),
-                "jensen_shannon": (
-                    lambda v: jnp.log(2.0) - softplus(-v),
-                    lambda v: sig(-v),
-                    lambda t: -jnp.log(2.0 - jnp.exp(t)),
-                    lambda t: jnp.exp(t) / (2.0 - jnp.exp(t))),
-                "gan": (
-                    lambda v: -softplus(-v),
-                    lambda v: sig(-v),
-                    lambda t: -jnp.log(1.0 - jnp.exp(t)),
-                    lambda t: jnp.exp(t) / (1.0 - jnp.exp(t))),
-            }
-            gf, gfp, fstar, fstarp = _FD[fgan_div]
+            return _dleaky(h, slope)
 
         def body(k, lam):
             # lam: loop-carried scalar variant state (fishergan's
@@ -402,114 +650,9 @@ def _make_kernel(steps: int, ds: int, b: int, bp: int, kz: int, kh: int,
                 hf = leaky(mm(fake_d, w1d) + b1d)
                 lf = mm(hf, w2d) + b2d
 
-                # variant hook: dL_D/dlogit + the logged loss (all
-                # trace-time branches)
-                if variant == "lsgan":
-                    glr = (lr_ - 1.0) * lane0 * rowm * inv_b
-                    glf = lf * lane0 * rowm * inv_b
-                    d_loss = (0.5 * jnp.sum((lr_ - 1.0) ** 2 * lane0 * rowm)
-                              + 0.5 * jnp.sum(lf * lf * lane0 * rowm)
-                              ) * inv_b
-                elif variant in ("wgan", "wgangp"):  # E[D(f)] - E[D(r)]
-                    glr = -lane0 * rowm * inv_b
-                    glf = lane0 * rowm * inv_b
-                    d_loss = jnp.sum((lf - lr_) * lane0 * rowm) * inv_b
-                elif variant == "fgan":
-                    # L_D = -E[g_f(lr)] + E[f*(g_f(lf))]
-                    t_f = gf(lf)
-                    glr = -gfp(lr_) * lane0 * rowm * inv_b
-                    glf = fstarp(t_f) * gfp(lf) * lane0 * rowm * inv_b
-                    d_loss = (-jnp.sum(gf(lr_) * lane0 * rowm)
-                              + jnp.sum(fstar(t_f) * lane0 * rowm)
-                              ) * inv_b
-                elif variant == "fishergan":
-                    # IPM + variance constraint via the augmented
-                    # Lagrangian (losses/fishergan.py):
-                    #   L_D = -(ipm + lam*c - rho/2 c^2), c = 1 - Omega
-                    # The constraint couples the batch; hand-derived:
-                    #   dL/dfr_i = ( -1 + (lam - rho*c) fr_i ) / B
-                    #   dL/dff_j = (  1 + (lam - rho*c) ff_j ) / B
-                    # computed with the PRE-update lam; lam descends
-                    # rho*c after (d_state_update per critic step).
-                    ipm_ = jnp.sum((lr_ - lf) * lane0 * rowm) * inv_b
-                    om_ = 0.5 * jnp.sum(
-                        (lr_ * lr_ + lf * lf) * lane0 * rowm) * inv_b
-                    c_ = 1.0 - om_
-                    mu_f = lam - fisher_rho * c_
-                    glr = (-1.0 + mu_f * lr_) * lane0 * rowm * inv_b
-                    glf = (1.0 + mu_f * lf) * lane0 * rowm * inv_b
-                    d_loss = -(ipm_ + lam * c_
-                               - 0.5 * fisher_rho * c_ * c_)
-                    d_real = ipm_          # metrics lane 1: ipm
-                    d_fake_m = om_         # metrics lane 2: omega
-                    aux6_m = c_            # metrics lane 6: constraint
-                    lam = lam - fisher_rho * c_
-                elif variant == "began":
-                    # AE critic (losses/began.py): lr_/lf are recon
-                    # LOGITS [bp,kx]; recon = sigmoid masked to the
-                    # true pixel lanes (same padding rule as the G
-                    # head). Per-sample pixel-mean L1 energy;
-                    # L_D = L(x) - k_t * L(G(z)), k_t = carried `lam`.
-                    rr = jax.nn.sigmoid(lr_) * xcols
-                    rf = jax.nn.sigmoid(lf) * xcols
-                    inv_bx = inv_b / float(x_true)
-                    l_real = jnp.sum(jnp.abs(x - rr) * rowm) * inv_bx
-                    l_fake = jnp.sum(
-                        jnp.abs(fake_d - rf) * rowm) * inv_bx
-                    d_loss = l_real - lam * l_fake
-                    # d|v-r|/dlogit = sign(r-v) * r(1-r) (a.e., sign
-                    # convention matching jax.grad of abs)
-                    glr = (jnp.sign(rr - x) * rr * (1.0 - rr)
-                           * rowm * inv_bx)
-                    glf = (-lam) * (jnp.sign(rf - fake_d)
-                                    * rf * (1.0 - rf) * rowm * inv_bx)
-                    d_real = l_real       # metrics lane 1
-                    d_fake_m = l_fake     # metrics lane 2
-                elif variant == "ragan":
-                    # relativistic-average BCE; the batch means couple
-                    # every logit's gradient (hand-derived:
-                    # dL/dlr_k = (σ(dr_k)-1)/b - B/b,  B = mean σ(df)
-                    # dL/dlf_k = (σ(df_k)-A)/b,  A = mean(σ(dr)-1))
-                    m_f = jnp.sum(lf * lane0 * rowm) * inv_b
-                    m_r = jnp.sum(lr_ * lane0 * rowm) * inv_b
-                    dr = lr_ - m_f
-                    df = lf - m_r
-                    sdr = jax.nn.sigmoid(dr)
-                    sdf = jax.nn.sigmoid(df)
-                    a_ = jnp.sum((sdr - 1.0) * lane0 * rowm) * inv_b
-                    b_ = jnp.sum(sdf * lane0 * rowm) * inv_b
-                    glr = ((sdr - 1.0) - b_) * lane0 * rowm * inv_b
-                    glf = (sdf - a_) * lane0 * rowm * inv_b
-                    d_loss = (jnp.sum(softplus(-dr) * lane0 * rowm)
-                              + jnp.sum(softplus(df) * lane0 * rowm)
-                              ) * inv_b
-                elif variant == "infogan":
-                    # BCE on the D lane + MI lower bound on the Q
-                    # lanes (losses/infogan.py): both read the SAME
-                    # combined head output on the fake batch, so one
-                    # glf vector carries both gradients into the
-                    # shared trunk.
-                    gq, mi = q_grads_loss(lf, zdk)
-                    glr = (jax.nn.sigmoid(lr_) - 1.0
-                           ) * lane0 * rowm * inv_b
-                    glf = (jax.nn.sigmoid(lf) * lane0 * rowm * inv_b
-                           + gq)
-                    bce_ = (jnp.sum(softplus(-lr_) * lane0 * rowm)
-                            + jnp.sum(softplus(lf) * lane0 * rowm)
-                            ) * inv_b
-                    d_loss = bce_ + info_lam * mi
-                    d_real = mi           # metrics lane 1: mi_loss
-                else:                     # BCE critic (nsgan/mmgan/
-                    #                       cgan/dragan)
-                    glr = (jax.nn.sigmoid(lr_) - 1.0) * lane0 * rowm * inv_b
-                    glf = jax.nn.sigmoid(lf) * lane0 * rowm * inv_b
-                    d_loss = (jnp.sum(softplus(-lr_) * lane0 * rowm)
-                              + jnp.sum(softplus(lf) * lane0 * rowm)
-                              ) * inv_b
-                if variant not in ("fishergan", "began", "infogan"):
-                    # fisher/began repurpose lanes 1/2 (set in-branch)
-                    d_real = jnp.sum(lr_ * lane0 * rowm) * inv_b
-                    d_fake_m = jnp.sum(lf * lane0 * rowm) * inv_b
+                # variant hook: dL_D/dlogit + the logged loss
+                (glr, glf, d_loss, d_real, d_fake_m, aux6_m,
+                 lam) = d_hook(lr_, lf, x, fake_d, zdk, lam)
 
                 dW2d = dotT_lhs(hr, glr) + dotT_lhs(hf, glf)
                 db2d = jnp.sum(glr + glf, axis=0, keepdims=True)
@@ -525,21 +668,12 @@ def _make_kernel(steps: int, ds: int, b: int, bp: int, kz: int, kh: int,
                     else:                     # eps·x + (1−eps)·fake
                         epsk = xtrabuf[slot, i * bp:(i + 1) * bp, 0:1]
                         xh = epsk * x + (1.0 - epsk) * fake
-                    hh = mm(xh, w1d) + b1d
-                    dph = dleaky(hh)                          # [bp,kh]
-                    w2row = dotT_rhs(lane0[0:1, :], w2d)      # [1,kh]
-                    u_pen = dph * w2row
-                    g_pen = dotT_rhs(u_pen, w1d)              # [bp,kx]
-                    sq = jnp.sum(g_pen * g_pen, axis=1, keepdims=True)
-                    nrm = jnp.sqrt(sq + 1e-12)                # [bp,1]
-                    gp_m = gp_lam * jnp.sum(
-                        rowm * (nrm - 1.0) ** 2) * inv_b
-                    gnorm_m = jnp.sum(rowm * nrm) * inv_b
-                    cpen = ((2.0 * gp_lam * inv_b)
-                            * (nrm - 1.0) / nrm * rowm)
-                    dW1d = dW1d + dotT_lhs(g_pen * cpen, u_pen)
-                    s_pen = mm(g_pen, w1d)                    # [bp,kh]
-                    dW2d = dW2d + dotT_lhs(cpen * dph * s_pen, lane0)
+                    dW1_add, dW2_add, gp_m, gnorm_m = _gp_backward(
+                        xh, w1d, b1d, w2d, lane0=lane0, rowm=rowm,
+                        inv_b=inv_b, gp_lam=gp_lam, slope=slope, mm=mm,
+                        dotT_lhs=dotT_lhs, dotT_rhs=dotT_rhs)
+                    dW1d = dW1d + dW1_add
+                    dW2d = dW2d + dW2_add
                     d_loss = d_loss + gp_m
 
                 update(s_d_w1, dW1d, td, d_lr, True)
@@ -562,74 +696,23 @@ def _make_kernel(steps: int, ds: int, b: int, bp: int, kz: int, kh: int,
                 fake2_d = fake2
             hf2 = leaky(mm(fake2_d, w1d_) + b1d_)
             lf2 = mm(hf2, w2d_) + b2d_
-            if variant == "lsgan":      # ½E[(D(G(z))-1)²]
-                gl = (lf2 - 1.0) * lane0 * rowm * inv_b
-                g_loss = 0.5 * jnp.sum(
-                    (lf2 - 1.0) ** 2 * lane0 * rowm) * inv_b
-            elif variant in ("wgan", "wgangp", "fishergan"):
-                # -E[D(G(z))] (fisher's G minimizes the plain IPM too)
-                gl = -lane0 * rowm * inv_b
-                g_loss = -jnp.sum(lf2 * lane0 * rowm) * inv_b
-            elif variant == "mmgan":    # saturating: min -softplus(l)
-                gl = -jax.nn.sigmoid(lf2) * lane0 * rowm * inv_b
-                g_loss = -jnp.sum(softplus(lf2) * lane0 * rowm) * inv_b
-            elif variant == "began":
-                # L_G = L(G(z)) through the post-update AE critic.
-                # Two paths into fake2: the direct |fake - AE(fake)|
-                # term (dx_extra) and the one through the AE (gl).
-                rf2 = jax.nn.sigmoid(lf2) * xcols
-                inv_bx = inv_b / float(x_true)
-                s2 = jnp.sign(fake2 - rf2) * rowm * inv_bx
-                g_loss = jnp.sum(jnp.abs(fake2 - rf2) * rowm) * inv_bx
-                gl = -s2 * rf2 * (1.0 - rf2)
-                dx_extra = s2
-            elif variant == "fgan":
-                t_f2 = gf(lf2)
-                if fgan_ns:             # Nowozin §3.2: max E[g_f]
-                    gl = -gfp(lf2) * lane0 * rowm * inv_b
-                    g_loss = -jnp.sum(t_f2 * lane0 * rowm) * inv_b
-                else:                   # paper: min -E[f*(g_f)]
-                    gl = (-fstarp(t_f2) * gfp(lf2)
-                          * lane0 * rowm * inv_b)
-                    g_loss = -jnp.sum(
-                        fstar(t_f2) * lane0 * rowm) * inv_b
-            elif variant == "ragan":
+            if variant == "ragan":
                 # L_G touches REAL data: re-evaluate the post-update
                 # critic on the LAST critic batch (train/step.py:189;
-                # rows still resident in xbuf). Only lf2 depends on G:
-                # dL_G/dlf2_k = (σ(df2_k)-1)/b - mean(σ(dr2))/b
+                # rows still resident in xbuf)
                 xg = xbuf[slot, (ds - 1) * bp:ds * bp, :]
                 hr2 = leaky(mm(xg, w1d_) + b1d_)
                 lr2 = mm(hr2, w2d_) + b2d_
-                m_f2 = jnp.sum(lf2 * lane0 * rowm) * inv_b
-                m_r2 = jnp.sum(lr2 * lane0 * rowm) * inv_b
-                dr2 = lr2 - m_f2
-                df2 = lf2 - m_r2
-                abar = jnp.sum(
-                    jax.nn.sigmoid(dr2) * lane0 * rowm) * inv_b
-                gl = ((jax.nn.sigmoid(df2) - 1.0) - abar
-                      ) * lane0 * rowm * inv_b
-                g_loss = (jnp.sum(softplus(-df2) * lane0 * rowm)
-                          + jnp.sum(softplus(dr2) * lane0 * rowm)
-                          ) * inv_b
-            elif variant == "infogan":
-                # heuristic BCE toward real + the same MI bound (the
-                # MI gradient reaches G through the Q lanes AND the
-                # fake pixels — both ride the one gl vector through
-                # the shared trunk backward)
-                gq2, mi2 = q_grads_loss(lf2, zgk)
-                gl = ((jax.nn.sigmoid(lf2) - 1.0)
-                      * lane0 * rowm * inv_b + gq2)
-                g_loss = (jnp.sum(softplus(-lf2) * lane0 * rowm)
-                          * inv_b + info_lam * mi2)
-                aux6_m = mi2              # metrics lane 6: g_mi_loss
-            else:                       # nsgan heuristic: BCE(l, 1)
-                gl = (jax.nn.sigmoid(lf2) - 1.0) * lane0 * rowm * inv_b
-                g_loss = jnp.sum(softplus(-lf2) * lane0 * rowm) * inv_b
+            else:
+                lr2 = None
+            gl, g_loss, g_aux6, dx_extra = g_hook(
+                lf2, zgk, fake2, lam, lr2)
+            if variant == "infogan":    # metrics lane 6: g_mi_loss
+                aux6_m = g_aux6
 
             dh2 = dotT_rhs(gl, w2d_) * dleaky(hf2)
             dx = dotT_rhs(dh2, w1d_)                            # [bp,kx]
-            if variant == "began":      # direct L1 path into fake2
+            if dx_extra is not None:    # began: direct L1 path into fake2
                 dx = dx + dx_extra
             gu2 = dx * fake2 * (1.0 - fake2)  # sigmoid' from the masked
             #                                   output: padded lanes = 0
