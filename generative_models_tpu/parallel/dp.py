@@ -48,6 +48,39 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map as _shard_map
 
 
+def make_gather_local(cfg, nb: int, steps_per_epoch: int, n_dev: int):
+    """Per-device minibatch gather for the explicit-SPMD paths (this
+    module's XLA step and ops/pallas_dp.py's fused-kernel DP): each
+    device takes only ITS rows of every minibatch — the rank-offset
+    slice of the epoch permutation. Call inside shard_map."""
+    from generative_models_tpu.train import step as step_lib
+
+    local_b = cfg.batch_size // n_dev
+    rows_per_step = nb * cfg.batch_size
+    rows_per_epoch = steps_per_epoch * rows_per_step
+
+    def gather_local(images, labels, perm_stack, rel_offset):
+        rank = jax.lax.axis_index(DATA_AXIS)
+        e = rel_offset // rows_per_epoch
+        r = rel_offset % rows_per_epoch
+        perm = jax.lax.dynamic_slice(
+            perm_stack, (e, 0), (1, perm_stack.shape[1]))[0]
+        # rows of minibatch j for this device:
+        #   perm[r + j*B_global + rank*local_b + (0..local_b)]
+        base = r + rank * local_b
+        idx = (base + jnp.arange(nb)[:, None] * cfg.batch_size
+               + jnp.arange(local_b)[None, :])
+        rows = jnp.take(perm, idx.reshape(-1), axis=0)
+        return {
+            "image": step_lib.decode_images(
+                jnp.take(images, rows, axis=0)).reshape(
+                nb, local_b, images.shape[-1]),
+            "label": jnp.take(labels, rows, axis=0).reshape(nb, local_b),
+        }
+
+    return gather_local
+
+
 def build_shard_map_many_steps(spec, cfg, steps_per_epoch: int,
                                mesh: jax.sharding.Mesh):
     """Explicit-SPMD twin of train.step.build_many_steps.
@@ -68,30 +101,9 @@ def build_shard_map_many_steps(spec, cfg, steps_per_epoch: int,
     if cfg.batch_size % n_dev != 0:
         raise ValueError(
             f"global batch {cfg.batch_size} not divisible by mesh size {n_dev}")
-    local_b = cfg.batch_size // n_dev
     nb = step_lib.batches_per_step(spec, cfg)
-    rows_per_step = nb * cfg.batch_size
-    rows_per_epoch = steps_per_epoch * rows_per_step
     train_step = step_lib.build_step(spec, cfg, axis_name=DATA_AXIS)
-
-    def gather_local(images, labels, perm_stack, rel_offset):
-        rank = jax.lax.axis_index(DATA_AXIS)
-        e = rel_offset // rows_per_epoch
-        r = rel_offset % rows_per_epoch
-        perm = jax.lax.dynamic_slice(
-            perm_stack, (e, 0), (1, perm_stack.shape[1]))[0]
-        # rows of minibatch j for this device:
-        #   perm[r + j*B_global + rank*local_b + (0..local_b)]
-        base = r + rank * local_b
-        idx = (base + jnp.arange(nb)[:, None] * cfg.batch_size
-               + jnp.arange(local_b)[None, :])
-        rows = jnp.take(perm, idx.reshape(-1), axis=0)
-        return {
-            "image": step_lib.decode_images(
-                jnp.take(images, rows, axis=0)).reshape(
-                nb, local_b, images.shape[-1]),
-            "label": jnp.take(labels, rows, axis=0).reshape(nb, local_b),
-        }
+    gather_local = make_gather_local(cfg, nb, steps_per_epoch, n_dev)
 
     def many_steps(state, images, labels, perm_stack, rel_offsets):
         def body(state, rel_offset):

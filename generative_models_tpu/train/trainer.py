@@ -193,13 +193,30 @@ class Trainer:
             # configs with the reason ("auto" resolved False for them
             # already and never reaches this branch)
             ok, reason = fused_step_supported(self.spec, cfg)
-            if not ok or self.mesh is not None:
-                raise ValueError(
-                    f"fused_step unsupported here: "
-                    f"{reason or 'mesh-parallel run'}")
+            if not ok:
+                raise ValueError(f"fused_step unsupported here: {reason}")
             self._many_steps = jax.jit(build_fused_many_steps(
                 self.spec, cfg, self.steps_per_epoch,
                 interpret=default_platform() != "tpu"))
+        elif cfg.fused_step is True and self.mesh is not None:
+            # the fused-kernel DP composition: per-phase gradient
+            # kernels under shard_map, pmean at every D/G boundary
+            # (ops/pallas_dp.py — VERDICT r2 #1)
+            if self._tp_mesh:
+                raise ValueError(
+                    "fused_step=True with tensor parallelism is "
+                    "unsupported: the phase kernels assume replicated "
+                    "params (the XLA TP path shards them)")
+            from generative_models_tpu.ops.linear import default_platform
+            from generative_models_tpu.ops.pallas_dp import (
+                build_fused_dp_many_steps, fused_dp_supported,
+            )
+            ok, reason = fused_dp_supported(self.spec, cfg)
+            if not ok:
+                raise ValueError(f"fused_step with DP unsupported: {reason}")
+            self._many_steps = build_fused_dp_many_steps(
+                self.spec, cfg, self.steps_per_epoch, self.mesh,
+                interpret=default_platform() != "tpu")
         elif self._tp_mesh:
             from generative_models_tpu.parallel.tp import build_tp_many_steps
             self._many_steps = build_tp_many_steps(
