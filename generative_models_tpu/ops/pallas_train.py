@@ -1328,24 +1328,32 @@ FUSED_AUTO_WINNERS = tuple(
 
 def resolve_fused_step(spec, cfg, mesh=None) -> bool:
     """Resolve ``Config.fused_step`` ("auto" | bool) to a concrete
-    choice. ``True`` forces the kernel (the trainer raises if
-    unsupported); ``False`` forces the XLA step; "auto" picks the
-    kernel only where it is supported, single-device, on a real TPU
-    (off-TPU it would run in Pallas interpret mode), and measured to
-    win (``FUSED_AUTO_WINNERS``)."""
+    choice FOR THE SINGLE-DEVICE CHUNK KERNEL. ``True`` forces a
+    kernel path — this resolver says yes only without a mesh; with a
+    data mesh the trainer routes to the fused-DP composition
+    (ops/pallas_dp.py) instead. ``False`` forces the XLA step; "auto"
+    picks the chunk kernel only where it is supported, single-device,
+    on a real TPU (off-TPU it would run in Pallas interpret mode), and
+    measured to win (``FUSED_AUTO_WINNERS``) — with a mesh "auto"
+    keeps the XLA step: the phase-split kernel's payoff there is
+    unmeasurable in this sandbox (no multi-chip hardware; see
+    ops/pallas_dp.py's honesty note)."""
     if cfg.fused_step is True:
-        return True
+        return mesh is None
     if not cfg.fused_step or cfg.fused_step != "auto":
         return False
     if mesh is not None:
-        return False
-    if cfg.variant not in FUSED_AUTO_WINNERS:
         return False
     ok, _ = fused_step_supported(spec, cfg)
     if not ok:
         return False
     from generative_models_tpu.ops.linear import default_platform
-    return default_platform() == "tpu"
+    if default_platform() != "tpu":
+        return False
+    # measured per-host verdict (micro A/B, cached); static-list
+    # fallback when measurement is disabled or fails (VERDICT r2 #2)
+    from generative_models_tpu.ops.fused_policy import resolve_auto
+    return resolve_auto(spec, cfg)
 
 
 def fused_step_supported(spec, cfg) -> Tuple[bool, str]:

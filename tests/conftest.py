@@ -21,6 +21,10 @@ range — and is ~2x faster. Individual files/tests run fine unsharded.
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# the fused-auto micro A/B never fires on the CPU harness (platform
+# gate), but tests that fake a TPU platform must not trigger a real
+# measurement — static-list fallback unless a test opts in
+os.environ.setdefault("GMTPU_FUSED_AB", "0")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

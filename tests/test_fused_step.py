@@ -39,10 +39,12 @@ def _setup(b=16, h=32, zd=8, variant="nsgan", **kw):
     return cfg, spec, state, images, labels, perm_stack, rel, steps_per_epoch
 
 
-@pytest.mark.parametrize("variant", ["nsgan", "mmgan", "lsgan", "wgan",
-                                     "cgan", "dragan", "wgangp",
-                                     "ragan", "fishergan", "began",
-                                     "infogan"])
+# fast lane keeps the headline variant; the rest are minutes of
+# interpret-mode CPU emulation each (VERDICT r2 #5)
+@pytest.mark.parametrize("variant", ["nsgan"] + [
+    pytest.param(v, marks=pytest.mark.slow)
+    for v in ("mmgan", "lsgan", "wgan", "cgan", "dragan", "wgangp",
+              "ragan", "fishergan", "began", "infogan")])
 def test_fused_chunk_matches_xla_trainer(variant):
     """wgan exercises the d_steps=5 critic loop, the torch-convention
     RMSprop branch, and the per-critic-step weight clip; cgan the
@@ -107,6 +109,7 @@ def test_fused_chunk_matches_xla_trainer(variant):
     assert int(s_f["step"]) == int(s_xla["step"]) == STEPS
 
 
+@pytest.mark.slow
 def test_dragan_row_pad_parity():
     """b=12 pads to bp=16: the padded-stream std (sum-mean over the
     zero pad ROWS, masked squared deviations) must still match the XLA
@@ -158,6 +161,7 @@ def test_pad_row_decodes_to_exact_zero(storage):
     np.testing.assert_array_equal(out[:, :3, :784].reshape(6, 784), ref)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("variant", ["nsgan", "wgan", "vae", "birvae"])
 def test_fused_ema_matches_xla_trainer(variant):
     """EMA as an in-kernel state plane: nsgan covers the adam G-plane
@@ -224,11 +228,16 @@ def test_fused_step_support_matrix():
 
 
 def test_resolve_fused_step_auto_policy(monkeypatch):
-    """fused_step="auto" (the default) picks the kernel only where the
-    fenced chip sweep measured it at >= XLA parity (BASELINE.md),
-    single-device, on a real TPU; explicit bools always win."""
+    """fused_step="auto" (the default) picks the kernel only where
+    measured to win, single-device, on a real TPU; explicit bools
+    always win. With the per-host micro A/B disabled (GMTPU_FUSED_AB=0
+    — the tests' conftest default), "auto" falls back to the static
+    round-2 sweep list; the measured branch is covered by
+    test_resolve_auto_measured_policy."""
     from generative_models_tpu.ops import pallas_train as pt
     from generative_models_tpu.ops import linear as linear_mod
+
+    monkeypatch.setenv("GMTPU_FUSED_AB", "0")
 
     def on(platform):
         monkeypatch.setattr(linear_mod, "default_platform",
@@ -269,6 +278,51 @@ def test_resolve_fused_step_auto_policy(monkeypatch):
     on("tpu")
     assert pt.resolve_fused_step(
         spec, variant_config("nsgan", fused_step=False)) is False
+
+
+def test_resolve_auto_measured_policy(monkeypatch, tmp_path):
+    """The per-host measured policy (VERDICT r2 #2): a micro A/B on
+    first fused-eligible build, verdict cached by (host, variant,
+    shapes). A fake slow-kernel measurement must flip a static winner
+    to XLA; the cache must stick; failures resolve to XLA."""
+    from generative_models_tpu.ops import fused_policy as fp
+
+    monkeypatch.setenv("GMTPU_POLICY_CACHE", str(tmp_path / "p.json"))
+    monkeypatch.setenv("GMTPU_FUSED_AB", "1")
+    spec = get_variant("nsgan")
+    cfg = variant_config("nsgan")
+
+    # fake: the kernel is slow on this host -> auto flips nsgan (a
+    # static-list winner) to the XLA step
+    monkeypatch.setattr(fp, "_measure_pair",
+                        lambda s, c: {"fused": 50.0, "xla": 100.0})
+    assert fp.resolve_auto(spec, cfg) is False
+    # the verdict is cached: a now-fast kernel doesn't change it
+    monkeypatch.setattr(fp, "_measure_pair",
+                        lambda s, c: {"fused": 300.0, "xla": 100.0})
+    assert fp.resolve_auto(spec, cfg) is False
+    # a different shape signature re-measures -> the kernel wins
+    assert fp.resolve_auto(
+        spec, variant_config("nsgan", batch_size=256)) is True
+    # a tie (within the 1% margin) goes to the simpler XLA path
+    monkeypatch.setattr(fp, "_measure_pair",
+                        lambda s, c: {"fused": 100.5, "xla": 100.0})
+    assert fp.resolve_auto(
+        spec, variant_config("nsgan", batch_size=128)) is False
+
+    # measurement failure -> XLA, cached with the error
+    def boom(s, c):
+        raise RuntimeError("kernel exploded")
+    monkeypatch.setattr(fp, "_measure_pair", boom)
+    assert fp.resolve_auto(
+        spec, variant_config("nsgan", batch_size=64)) is False
+
+    # measurement disabled -> the static round-2 list
+    monkeypatch.setenv("GMTPU_FUSED_AB", "0")
+    assert fp.resolve_auto(
+        get_variant("fgan"), variant_config("fgan")) is False
+    assert fp.resolve_auto(
+        spec, variant_config("nsgan", batch_size=32)) is True
 
 
 def test_fused_step_auto_validated():
@@ -323,6 +377,7 @@ def test_trainer_refuses_unsupported_fused_step(tiny_data):
                 data=tiny_data)
 
 
+@pytest.mark.slow
 def test_fused_chunk_nsgan_multi_critic_adam():
     """d_steps=2 under Adam: D's bias-correction count advances 2 per
     outer step while G's advances 1 — the kernel's split t counters
@@ -347,6 +402,7 @@ def test_fused_chunk_nsgan_multi_critic_adam():
                                        rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_fused_vae_chunk_matches_xla_trainer():
     """The non-adversarial family member: hand-derived encoder/
     reparam/KL/decoder backward + Adam in the fused chunk must
@@ -376,6 +432,7 @@ def test_fused_vae_chunk_matches_xla_trainer():
                                   np.asarray(s_xla["rng"]))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("recon", ["mse", "bce"])
 def test_fused_birvae_chunk_matches_xla_trainer(recon):
     """BIR-VAE: mean-only encoder, hand-derived batch-norm backward
@@ -414,6 +471,7 @@ def test_fused_birvae_chunk_matches_xla_trainer(recon):
                                   np.asarray(s_xla["rng"]))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("variant", ["nsgan", "vae"])
 def test_fused_subchunk_split_matches_xla(variant, monkeypatch):
     """When the chunk's pre-gathered streams exceed the HBM budget the
@@ -463,6 +521,7 @@ def test_pick_sub_divisor_budget():
     assert sub == 4000
 
 
+@pytest.mark.slow
 def test_fused_bf16_matmuls_run_and_track_f32():
     """Config.dtype=bfloat16 casts only the kernel's MXU operands
     (f32 params/opt/accumulate). Not bit-parity — assert the short
@@ -488,6 +547,7 @@ def test_fused_bf16_matmuls_run_and_track_f32():
         assert np.all(np.isfinite(np.asarray(a)))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("div,ns", [
     ("kl", False), ("jensen_shannon", False), ("gan", False),
     ("pearson", False), ("reverse_kl", True),
