@@ -44,7 +44,11 @@ def _batch(cfg, rng):
                                         cfg.num_classes)}
 
 
-@pytest.mark.parametrize("variant", available_variants())
+# fast lane: one representative conv composition; the full matrix is
+# minutes of CPU conv autodiff (VERDICT r2 #5)
+@pytest.mark.parametrize("variant", [
+    v if v == "nsgan" else pytest.param(v, marks=pytest.mark.slow)
+    for v in available_variants()])
 def test_every_loss_head_composes_on_conv(variant):
     """Breadth axis: every variant's loss fns + grads are finite and
     nonzero on the conv stacks (eager; see the module cost note)."""

@@ -12,6 +12,11 @@ import os
 import subprocess
 import sys
 
+import pytest
+
+# subprocess compile contracts the driver re-runs itself each round (VERDICT r2 #5)
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

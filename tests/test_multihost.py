@@ -19,6 +19,11 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
+# 2-process CLI runs: minutes (VERDICT r2 #5)
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # run the real CLI entry point (generative_models_tpu.cli.main)

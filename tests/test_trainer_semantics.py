@@ -123,6 +123,7 @@ def test_sample_every_fires_between_chunk_multiples(tiny_data, tmp_path):
     assert len(pngs) >= 2, pngs
 
 
+@pytest.mark.slow
 def test_cli_sample_only_roundtrip(tmp_path):
     """--sample-only restores the checkpoint and writes a grid without
     training (the reference's post-training generate_images path)."""

@@ -12,7 +12,11 @@ sequence, the same per-step z draws, and Adam(2e-4, torch defaults).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
+
+# 50-step torch-oracle trajectories: minutes each (VERDICT r2 #5)
+pytestmark = pytest.mark.slow
 
 from generative_models_tpu.config import variant_config
 from generative_models_tpu.losses import minimax as minimax_mod

@@ -24,7 +24,11 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
+
+# 50-step torch-oracle trajectories: minutes each (VERDICT r2 #5)
+pytestmark = pytest.mark.slow
 import torch.nn.functional as F
 
 from generative_models_tpu.config import variant_config

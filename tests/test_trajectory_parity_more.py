@@ -21,7 +21,11 @@ ported reference code.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
+
+# 50-step torch-oracle trajectories: minutes each (VERDICT r2 #5)
+pytestmark = pytest.mark.slow
 
 from generative_models_tpu.config import variant_config
 from generative_models_tpu.losses import began as began_mod
