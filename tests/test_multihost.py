@@ -101,3 +101,79 @@ def test_two_process_dp_through_cli(tmp_path):
         for k in ("d_loss", "g_loss"):
             if k in a:
                 assert a[k] == b[k]
+
+
+def test_two_process_dp_tp_through_cli(tmp_path):
+    """dp2 x tp2 over a 4-device GLOBAL mesh spanning 2 OS processes —
+    the Megatron column/row collectives cross the process boundary
+    (gloo, the sandbox's DCN stand-in; VERDICT r2 next #7). Both
+    processes must agree bit-identically (replicated outputs), and the
+    trajectory must match a single-process dp2 x tp2 run of the same
+    config to fp tolerance (the collective topology is the only
+    difference)."""
+    port = _free_port()
+    cli_args = ["--variant", "nsgan", "--dp", "2", "--tp", "2",
+                "--dataset", "synthetic", "--steps", "8",
+                "--batch-size", "16", "--hidden-dim", "32",
+                "--z-dim", "8", "--scan-steps", "4",
+                "--sample-every", "-1", "--seed", "0"]
+    procs, outs = [], []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env.update(
+            JAX_PLATFORMS="cpu",
+            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+            GMTPU_CPU_DEVICES_PER_PROC="2",
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", WORKER, "--multihost",
+             *cli_args, "--out-dir", str(tmp_path / f"p{pid}")],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out.decode(errors="replace"))
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        raise
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"
+
+    finals = []
+    for out in outs:
+        json_lines = [ln for ln in out.splitlines()
+                      if ln.startswith("{") and "steps_per_sec" in ln]
+        assert json_lines, f"no final JSON in:\n{out[-2000:]}"
+        finals.append(json.loads(json_lines[-1]))
+    assert finals[0]["steps"] == finals[1]["steps"] == 8
+    assert finals[0]["eval"] == finals[1]["eval"]
+
+    # single-process reference: the SAME dp2 x tp2 config over 4
+    # in-process virtual devices (the subprocess route can't force CPU
+    # visibility here: the axon plugin hijacks jax.devices() without
+    # the --multihost device pinning). Only the collective topology
+    # (gloo across processes vs in-process) differs -> fp tolerance.
+    import jax
+
+    from generative_models_tpu.config import variant_config
+    from generative_models_tpu.parallel.tp import make_mesh_2d
+    from generative_models_tpu.train.trainer import Trainer
+
+    cfg = variant_config("nsgan", dp=2, tp=2, batch_size=16,
+                         hidden_dim=32, z_dim=8, scan_steps=4, seed=0)
+    mesh = make_mesh_2d(2, 2, devices=jax.devices("cpu")[:4])
+    hist = Trainer(config=cfg, mesh=mesh).train(steps=8)
+
+    rows_mp = [json.loads(r) for r in
+               (tmp_path / "p0" / "nsgan" / "metrics.jsonl")
+               .read_text().splitlines() if "d_loss" in r]
+    assert len(rows_mp) >= 8
+    for i, a in enumerate(rows_mp[:8]):
+        for k in ("d_loss", "g_loss"):
+            b = float(hist[k][i])
+            assert abs(a[k] - b) <= 2e-4 * max(1.0, abs(b)), (i, k, a, b)
