@@ -1,7 +1,10 @@
 #!/bin/bash
 # Probe the axon TPU tunnel every 3 min; while it answers, drain the
 # chip job queue (markers in /tmp/chipdone_* make each job run-once).
-# Logs to /tmp/tunnel_watch.log.
+# Logs to /tmp/tunnel_watch.log. ROUND-3 queue: conv bf16 crossover,
+# profiler capture, quality re-measurement under the new shipped
+# defaults (conv ragan/lsgan/began spectral rescues), gallery
+# artifacts + page regen.
 cd /root/repo
 LOG=/tmp/tunnel_watch.log
 
@@ -29,14 +32,22 @@ run_job() {  # $1 marker name, $2 timeout, rest: command
 for i in $(seq 1 200); do
   if probe; then
     echo "[watch] tunnel alive at $(date)" >> "$LOG"
-    run_job fused_ab   1500 python benchmarks/fused_ab.py --scan 8000 &&
+    run_job bf16_cross 3000 python benchmarks/conv_bf16_crossover.py &&
     probe &&
-    run_job spectral   1800 python benchmarks/spectral_cost.py &&
+    run_job profile    2400 python benchmarks/profile_capture.py &&
     probe &&
-    run_job fgan_ns    5400 python benchmarks/fgan_divergences.py --steps 6000 &&
+    run_job q20k       5400 python benchmarks/quality_sweep.py --arch conv \
+      --steps 20000 --variants ragan lsgan began \
+      --out benchmarks/quality_results_conv_20k.json &&
     probe &&
-    run_job gallery    5400 python benchmarks/gallery.py --arch conv --steps 20000 &&
-    run_job gifs        600 python benchmarks/make_gifs.py --runs runs_conv --suffix _conv &&
+    run_job q6k        3600 python benchmarks/quality_sweep.py --arch conv \
+      --steps 6000 --variants ragan lsgan began &&
+    probe &&
+    run_job gal3       5400 python benchmarks/gallery.py --arch conv \
+      --steps 20000 --variants ragan lsgan began &&
+    run_job gifs3       600 python benchmarks/make_gifs.py --runs runs_conv \
+      --suffix _conv &&
+    run_job galmd       300 python benchmarks/gallery.py --md-only &&
     { echo "[watch] ALL JOBS DONE $(date)" >> "$LOG"; exit 0; }
   else
     echo "[watch] dead probe $i $(date)" >> "$LOG"

@@ -216,6 +216,14 @@ def test_began_conv_default_applies_measured_rescue():
     # explicit override beats the arch-conditional default
     cfg2 = variant_config("began", arch="conv", spectral_projection=False)
     assert not cfg2.spectral_projection
+    # round 3 (VERDICT r2 #4): the measured late-horizon mode-dropping
+    # rescues are defaulted too — conv ragan/lsgan get spectral @ 1.0
+    for v in ("ragan", "lsgan"):
+        cfg3 = variant_config(v, arch="conv")
+        assert cfg3.spectral_projection and cfg3.sn_target == 1.0
+        assert not variant_config(v).spectral_projection  # MLP unchanged
+        assert not variant_config(
+            v, arch="conv", spectral_projection=False).spectral_projection
 
 
 def test_eval_fn_invalidated_on_rebuild(tiny_data):
