@@ -131,7 +131,13 @@ class Config:
     vae_recon: str = "bce"         # "bce" (Bernoulli decoder) | "mse"
 
     # --- numerics / performance ----------------------------------------
-    dtype: str = "float32"         # activation compute dtype; params stay f32
+    # Activation compute dtype; params stay f32. "auto" (the default)
+    # resolves at Trainer build via the MEASURED policy (resolve_dtype):
+    # float32 everywhere except arch=conv on a real TPU at or above the
+    # bf16 crossover batch, where bf16 MXU operands pay (+19% at 1024;
+    # −10% at the reference batch 100 — BASELINE.md conv section).
+    # Explicit "float32"/"bfloat16" always wins.
+    dtype: str = "auto"
     # Whole-MLP Pallas kernels: OFF by default. The fwd kernel wins up
     # to 2.5x in microbenches, but with trustworthy (value-fetch-
     # fenced) timing the XLA path wins END-TO-END at every measured
@@ -221,8 +227,9 @@ class Config:
         if self.arch == "conv" and self.conv_channels < 1:
             raise ValueError(
                 f"conv_channels must be >= 1, got {self.conv_channels}")
-        if self.dtype not in ("float32", "bfloat16"):
-            raise ValueError(f"dtype must be float32|bfloat16, got {self.dtype!r}")
+        if self.dtype not in ("auto", "float32", "bfloat16"):
+            raise ValueError(
+                f"dtype must be auto|float32|bfloat16, got {self.dtype!r}")
         if self.optimizer not in ("adam", "rmsprop"):
             raise ValueError(f"optimizer must be adam|rmsprop, got {self.optimizer!r}")
         if self.vae_recon not in ("bce", "mse"):
@@ -325,6 +332,34 @@ CONV_VARIANT_OVERRIDES: Dict[str, Dict[str, Any]] = {
     "ragan": {"spectral_projection": True, "sn_target": 1.0},
     "lsgan": {"spectral_projection": True, "sn_target": 1.0},
 }
+
+
+# Measured conv bf16 crossover batch (benchmarks/conv_bf16_crossover.py
+# → conv_bf16_crossover.json): bf16 MXU operands are ~10% SLOWER at
+# batch 100 (small spatial tiles underfill the MXU; per-layer casts of
+# the still-f32 params add overhead) and ~19% FASTER at 1024. The
+# boundary below is set from the finest measured bracketing; re-run the
+# benchmark to recalibrate on a new chip generation.
+CONV_BF16_CROSSOVER_BATCH = 512
+
+
+def resolve_dtype(cfg: "Config", platform: str) -> str:
+    """Concrete dtype for ``Config.dtype="auto"`` (VERDICT r2 next #6).
+
+    MLP stacks are dispatch/HBM-bound at every measured batch — bf16
+    never pays (BASELINE.md fused A/B: 0.97x at the headline) →
+    float32. Conv stacks on a real TPU flip to bf16 at the measured
+    batch crossover. Off-TPU (CPU harness, interpret runs): float32.
+    Loss-trajectory parity vs the torch oracles is an f32 property; it
+    is preserved at the reference batch sizes (100 < crossover) and
+    whenever the user pins --dtype float32.
+    """
+    if cfg.dtype != "auto":
+        return cfg.dtype
+    if (platform == "tpu" and cfg.arch == "conv"
+            and cfg.batch_size >= CONV_BF16_CROSSOVER_BATCH):
+        return "bfloat16"
+    return "float32"
 
 
 def variant_config(variant: str, **overrides) -> Config:

@@ -43,6 +43,14 @@ class Trainer:
                  **overrides):
         self.cfg = config if config is not None else variant_config(
             variant, **overrides)
+        if self.cfg.dtype == "auto":
+            # measured batch crossover, conv-on-TPU only (config.py::
+            # resolve_dtype); resolved here once so every downstream
+            # consumer sees a concrete dtype
+            from generative_models_tpu.config import resolve_dtype
+            from generative_models_tpu.ops.linear import default_platform
+            self.cfg = self.cfg.replace(
+                dtype=resolve_dtype(self.cfg, default_platform()))
         self.spec = get_variant(self.cfg.variant)
         if mesh is None and self.cfg.tp > 1:
             from generative_models_tpu.parallel.tp import make_mesh_2d

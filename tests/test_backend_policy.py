@@ -79,3 +79,48 @@ def test_no_pallas_without_tpu(tiny_data):
     assert _backend_for(
         tiny_cfg("nsgan", batch_size=100, use_pallas=True), tiny_data) \
         == "xla"
+
+
+def test_dtype_auto_policy():
+    """Config.dtype="auto" (the default) resolves by the MEASURED conv
+    bf16 crossover (VERDICT r2 next #6): f32 for mlp everywhere and for
+    conv below the crossover batch / off-TPU; bf16 for conv at or above
+    it on a real TPU. Explicit dtypes always win."""
+    from generative_models_tpu.config import (
+        CONV_BF16_CROSSOVER_BATCH,
+        resolve_dtype,
+        variant_config,
+    )
+
+    assert variant_config("nsgan").dtype == "auto"
+    assert resolve_dtype(variant_config("nsgan"), "tpu") == "float32"
+    assert resolve_dtype(
+        variant_config("nsgan", arch="conv", batch_size=100),
+        "tpu") == "float32"
+    big = variant_config("nsgan", arch="conv",
+                         batch_size=CONV_BF16_CROSSOVER_BATCH)
+    assert resolve_dtype(big, "tpu") == "bfloat16"
+    assert resolve_dtype(big, "cpu") == "float32"
+    assert resolve_dtype(
+        variant_config("nsgan", arch="conv", batch_size=4096,
+                       dtype="float32"), "tpu") == "float32"
+    assert resolve_dtype(
+        variant_config("nsgan", dtype="bfloat16"), "cpu") == "bfloat16"
+
+
+def test_trainer_resolves_auto_dtype(tiny_data, monkeypatch):
+    """The Trainer resolves "auto" ONCE at build so every downstream
+    consumer sees a concrete dtype."""
+    t = Trainer(config=tiny_cfg("nsgan"), data=tiny_data)
+    assert t.cfg.dtype == "float32"      # CPU harness
+
+    monkeypatch.setattr(linear_mod, "default_platform", lambda: "tpu")
+    t2 = Trainer(config=tiny_cfg("nsgan", arch="conv", batch_size=512,
+                                 conv_channels=4, fused_step=False),
+                 data=tiny_data)
+    assert t2.cfg.dtype == "bfloat16"
+    t3 = Trainer(config=tiny_cfg("nsgan", arch="conv", batch_size=512,
+                                 conv_channels=4, fused_step=False,
+                                 dtype="float32"),
+                 data=tiny_data)
+    assert t3.cfg.dtype == "float32"
