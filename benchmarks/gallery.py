@@ -251,6 +251,12 @@ def main():
                          "the MLP reference-parity stack")
     args = ap.parse_args()
 
+    if not args.md_only:
+        # training run: probe the backend (honors GRAFT_REQUIRE_LIVE so
+        # the chip queue never renders gallery artifacts on the CPU pin)
+        from __graft_entry__ import ensure_live_backend
+        ensure_live_backend()
+
     from generative_models_tpu.losses.registry import available_variants
 
     variants = args.variants or available_variants()

@@ -33,6 +33,9 @@ def main():
                          "don't clobber each other")
     args = ap.parse_args()
 
+    from __graft_entry__ import ensure_live_backend
+    ensure_live_backend()
+
     from generative_models_tpu.config import variant_config
     from generative_models_tpu.data.mnist import load_mnist, to_flat_float
     from generative_models_tpu.losses.registry import available_variants

@@ -7,9 +7,14 @@
 # artifacts + page regen.
 cd /root/repo
 LOG=/tmp/tunnel_watch.log
+# Abort (rc=3) instead of writing CPU-pinned numbers if the tunnel dies
+# mid-job; the job retries on the next alive window.
+export GRAFT_REQUIRE_LIVE=1
+# Cold axon backend init has been measured >90 s; give probes headroom.
+export GRAFT_PROBE_TIMEOUT=240
 
 probe() {
-  timeout 90 python -c "
+  timeout 240 python -c "
 import jax, jax.numpy as jnp
 x = jnp.ones((256, 256))
 print('alive', float((x @ x).sum()))
