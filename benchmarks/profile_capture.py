@@ -35,8 +35,16 @@ BF16_PEAK_TFLOPS = 197.0
 
 
 def parse_device_ops(logdir):
-    """Aggregate device-pid complete events of the newest capture:
-    {op_name: total_us}, plus the device-busy wall span."""
+    """Aggregate device-pid complete events of the newest capture into
+    per-op SELF time {op_name: total_us} plus total device-busy time.
+
+    Trace events nest (an op row sits inside its enclosing while loop
+    inside the jit computation row); naively summing durations counts
+    the same device microseconds once per nesting level (the round-3
+    first capture reported device_busy > wall). Within each (pid, tid)
+    lane, sort by (ts, -dur) and keep an enclosing-interval stack:
+    a parent's self time excludes every nested child, and device-busy
+    is the sum of TOP-LEVEL durations only."""
     paths = sorted(glob.glob(
         os.path.join(logdir, "plugins/profile/*/*.trace.json.gz")))
     with gzip.open(paths[-1]) as f:
@@ -45,14 +53,29 @@ def parse_device_ops(logdir):
     dev_pids = {e["pid"] for e in evs
                 if e.get("ph") == "M" and e.get("name") == "process_name"
                 and "TPU" in e["args"]["name"]}
-    ops = defaultdict(float)
-    t0, t1 = float("inf"), 0.0
+    lanes = defaultdict(list)
     for e in evs:
         if e.get("ph") == "X" and e["pid"] in dev_pids:
-            ops[e["name"]] += e["dur"]
-            t0 = min(t0, e["ts"])
-            t1 = max(t1, e["ts"] + e["dur"])
-    return dict(ops), (t1 - t0 if t1 > t0 else 0.0)
+            lanes[(e["pid"], e.get("tid", 0))].append(
+                (float(e["ts"]), float(e["dur"]), e["name"]))
+    ops = defaultdict(float)
+    busy = 0.0
+    for lane in lanes.values():
+        lane.sort(key=lambda x: (x[0], -x[1]))
+        stack = []  # [end_ts, name, child_total_us, dur_us]
+        for ts, dur, name in lane:
+            while stack and ts >= stack[-1][0] - 1e-9:
+                _, nm, child, d = stack.pop()
+                ops[nm] += max(d - child, 0.0)
+            if stack:
+                stack[-1][2] += dur   # nested: child time of the parent
+            else:
+                busy += dur           # top level: true device-busy time
+            stack.append([ts + dur, name, 0.0, dur])
+        while stack:
+            _, nm, child, d = stack.pop()
+            ops[nm] += max(d - child, 0.0)
+    return dict(ops), busy
 
 
 def capture(tag, steps, make_trainer):
@@ -63,15 +86,17 @@ def capture(tag, steps, make_trainer):
         jax.profiler.start_trace(logdir)
         t.train(steps=steps, sample_every=-1)        # value-fenced inside
         jax.profiler.stop_trace()
-        ops, span_us = parse_device_ops(logdir)
-    total_us = sum(ops.values())
+        ops, busy_us = parse_device_ops(logdir)
     top = sorted(ops.items(), key=lambda kv: -kv[1])[:10]
     out = {
         "tag": tag,
         "steps": steps,
-        "device_busy_us_per_step": round(total_us / steps, 3),
+        "device_busy_us_per_step": round(busy_us / steps, 3),
         "trainer_wall_us_per_step": round(1e6 * t.wall_time / steps, 3),
-        "top_ops_us_per_step": {k: round(v / steps, 3) for k, v in top},
+        # SELF time per op (nested children excluded) — see
+        # parse_device_ops
+        "top_ops_self_us_per_step": {k: round(v / steps, 3)
+                                     for k, v in top},
     }
     print(json.dumps(out), flush=True)
     return out

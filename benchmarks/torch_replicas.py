@@ -197,6 +197,42 @@ def make_replica(variant: str, cfg, x_train: np.ndarray,
             opt.zero_grad(); loss.backward(); opt.step()
         return step
 
+    if variant == "ddpm":
+        # eager replica of losses/ddpm.py + models/ddpm_net.py (mlp):
+        # sinusoidal t-embedding -> 2-layer time MLP; two SiLU hidden
+        # layers with time bias; zero-init out + input->output skip
+        TD, T = cfg.ddpm_time_dim, cfg.ddpm_timesteps
+        betas = torch.linspace(cfg.ddpm_beta_start, cfg.ddpm_beta_end, T)
+        abar = torch.cumprod(1.0 - betas, 0)
+        half = TD // 2
+        freqs = torch.exp(-np.log(1e4) * torch.arange(half)
+                          / max(half - 1, 1))
+        t0, t1 = nn.Linear(TD, TD), nn.Linear(TD, TD)
+        lin_in, lin_mid = nn.Linear(784, H), nn.Linear(H, H)
+        tb1, tb2 = nn.Linear(TD, H), nn.Linear(TD, H)
+        out_l, skip = nn.Linear(H, 784), nn.Linear(784, 784)
+        nn.init.zeros_(out_l.weight); nn.init.zeros_(out_l.bias)
+        nn.init.zeros_(skip.weight); nn.init.zeros_(skip.bias)
+        silu = nn.SiLU()
+        mods = [t0, t1, lin_in, lin_mid, tb1, tb2, out_l, skip]
+        opt = _adam([p for m in mods for p in m.parameters()], cfg.g_lr)
+
+        def step():
+            xb, _ = bat.next()
+            x0 = 2.0 * xb - 1.0
+            t = torch.randint(0, T, (B,))
+            eps = torch.randn_like(x0)
+            a = abar[t][:, None]
+            xt = a.sqrt() * x0 + (1 - a).sqrt() * eps
+            args = t[:, None].float() * freqs[None, :]
+            emb = t1(silu(t0(torch.cat([args.sin(), args.cos()], -1))))
+            h = silu(lin_in(xt) + tb1(emb))
+            h = silu(lin_mid(h) + tb2(emb))
+            pred = out_l(h) + skip(xt)
+            loss = ((pred - eps) ** 2).mean()
+            opt.zero_grad(); loss.backward(); opt.step()
+        return step
+
     # ----- adversarial family -----------------------------------------
     d_steps = max(cfg.d_steps, 1)
 

@@ -50,6 +50,21 @@ for i in $(seq 1 200); do
     probe &&
     run_job gal3       5400 python benchmarks/gallery.py --arch conv \
       --steps 20000 --variants ragan lsgan began &&
+    probe &&
+    run_job q20k_ddpm  2400 python benchmarks/quality_sweep.py \
+      --steps 20000 --variants ddpm \
+      --out benchmarks/quality_results.json &&
+    probe &&
+    run_job q20kc_ddpm 3600 python benchmarks/quality_sweep.py --arch conv \
+      --steps 20000 --variants ddpm \
+      --out benchmarks/quality_results_conv_20k.json &&
+    probe &&
+    run_job gal_ddpm   2400 python benchmarks/gallery.py \
+      --steps 20000 --variants ddpm &&
+    probe &&
+    run_job galc_ddpm  3600 python benchmarks/gallery.py --arch conv \
+      --steps 20000 --variants ddpm &&
+    run_job gifs_ddpm   600 python benchmarks/make_gifs.py &&
     run_job gifs3       600 python benchmarks/make_gifs.py --runs runs_conv \
       --suffix _conv &&
     run_job galmd       300 python benchmarks/gallery.py --md-only &&

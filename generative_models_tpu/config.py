@@ -130,6 +130,21 @@ class Config:
     birvae_bits: float = 12.0      # BIRVAE target information rate I (bits) TO-VERIFY
     vae_recon: str = "bce"         # "bce" (Bernoulli decoder) | "mse"
 
+    # DDPM (Ho et al. 2020) — a model family BEYOND the reference zoo
+    # (the reference has no diffusion models; SURVEY.md §3.2). Defaults
+    # are the paper's MNIST-scale choices.
+    ddpm_timesteps: int = 1000     # T (Ho 2020 §4)
+    ddpm_beta_start: float = 1e-4  # linear beta schedule (Ho 2020 §4)
+    ddpm_beta_end: float = 0.02
+    ddpm_time_dim: int = 128       # sinusoidal timestep-embedding width
+    # Sampler subsequence length S (Song et al. 2021 "DDIM" §4.2):
+    # 0 = the full T-step ancestral chain; 0 < S < T strides an evenly
+    # spaced subsequence (S net evals instead of T).
+    ddpm_sample_steps: int = 0
+    # DDIM eta: 1.0 = stochastic DDPM-style posterior (exactly ancestral
+    # DDPM on the full sequence), 0.0 = deterministic DDIM.
+    ddpm_eta: float = 1.0
+
     # --- numerics / performance ----------------------------------------
     # Activation compute dtype; params stay f32. "auto" (the default)
     # resolves at Trainer build via the MEASURED policy (resolve_dtype):
@@ -266,6 +281,14 @@ class Config:
         if self.sn_mode not in ("amortized", "fresh"):
             raise ValueError(
                 f"sn_mode must be amortized|fresh, got {self.sn_mode!r}")
+        if self.ddpm_sample_steps < 0 or (
+                self.ddpm_sample_steps > self.ddpm_timesteps):
+            raise ValueError(
+                f"ddpm_sample_steps must be in [0, ddpm_timesteps="
+                f"{self.ddpm_timesteps}], got {self.ddpm_sample_steps}")
+        if not 0.0 <= self.ddpm_eta <= 1.0:
+            raise ValueError(
+                f"ddpm_eta must be in [0, 1], got {self.ddpm_eta}")
         if self.variant == "fgan":
             # fail fast with a clean message instead of a mid-trace error
             from generative_models_tpu.losses.fgan import get_divergence
@@ -308,6 +331,12 @@ VARIANT_OVERRIDES: Dict[str, Dict[str, Any]] = {
     # DRAGAN paper (Kodali 2017): NSGAN loss + local penalty, 1 critic step.
     "dragan": {"adam_b1": 0.5},
     "fishergan": {"adam_b1": 0.5},
+    # DDPM (beyond-reference family): single model, no critic. Ho 2020
+    # trains with Adam (torch-default betas) and samples from an EMA of
+    # the weights (paper: 0.9999 at ImageNet scale; 0.999 here — at the
+    # zoo's ~6-20k-step budgets the paper rate would still be dominated
+    # by the init).
+    "ddpm": {"d_steps": 0, "ema_decay": 0.999},
 }
 
 VARIANTS: Tuple[str, ...] = tuple(VARIANT_OVERRIDES)

@@ -26,6 +26,8 @@ _SPECS: Dict[str, Tuple[str, str]] = {
     "fishergan": ("generative_models_tpu.losses.fishergan", "FISHERGAN"),
     "vae": ("generative_models_tpu.losses.vae", "VAE"),
     "birvae": ("generative_models_tpu.losses.birvae", "BIRVAE"),
+    # Beyond the reference zoo (SURVEY.md §3.2 has no diffusion row):
+    "ddpm": ("generative_models_tpu.losses.ddpm", "DDPM"),
 }
 
 

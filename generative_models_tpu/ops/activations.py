@@ -17,6 +17,7 @@ ACTIVATIONS = {
     "tanh": lambda x, slope: jnp.tanh(x),
     "softplus": lambda x, slope: jax.nn.softplus(x),
     "elu": lambda x, slope: jax.nn.elu(x),
+    "silu": lambda x, slope: x * jax.nn.sigmoid(x),
 }
 
 

@@ -57,7 +57,8 @@ def save_image_grid(path: str, images, nrow: int = 8, pad: int = 2,
 def plot_losses(path: str, history: dict, keys=None) -> str:
     """Loss curves (reference's viz_loss). Uses matplotlib if present,
     else writes a CSV next to `path` and returns that."""
-    keys = keys or [k for k in history if k.endswith("_loss")]
+    keys = keys or [k for k in history
+                    if k == "loss" or k.endswith("_loss")]
     try:
         import matplotlib
         matplotlib.use("Agg")

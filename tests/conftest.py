@@ -57,6 +57,10 @@ TINY = dict(
     scan_steps=4,
     sample_n=16,
     seed=0,
+    # keep the DDPM reverse chain cheap in tests (full default is 1000)
+    ddpm_timesteps=50,
+    ddpm_sample_steps=10,
+    ddpm_time_dim=16,
 )
 
 

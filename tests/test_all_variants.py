@@ -12,10 +12,12 @@ ALL_VARIANTS = available_variants()
 
 
 def test_registry_is_complete():
-    assert set(ALL_VARIANTS) == {
+    reference_zoo = {
         "vae", "birvae", "mmgan", "nsgan", "lsgan", "wgan", "wgangp",
         "dragan", "began", "ragan", "infogan", "fgan", "fishergan", "cgan",
     }
+    beyond_reference = {"ddpm"}
+    assert set(ALL_VARIANTS) == reference_zoo | beyond_reference
 
 
 @pytest.mark.parametrize("variant", ALL_VARIANTS)
