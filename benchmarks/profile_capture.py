@@ -53,11 +53,33 @@ def parse_device_ops(logdir):
     dev_pids = {e["pid"] for e in evs
                 if e.get("ph") == "M" and e.get("name") == "process_name"
                 and "TPU" in e["args"]["name"]}
+    # A device pid carries several PARALLEL tid rows describing the
+    # SAME microseconds at different granularities ("XLA Modules",
+    # "XLA Ops", "Steps" — the round-3 second capture summed Steps +
+    # Modules + Ops and still reported busy > wall). Keep the op-level
+    # rows only; fall back to every non-Steps lane if the profiler
+    # version doesn't name threads.
+    tnames = {(e["pid"], e.get("tid")): e["args"].get("name", "")
+              for e in evs
+              if e.get("ph") == "M" and e.get("name") == "thread_name"}
+    op_lanes = {k for k, v in tnames.items()
+                if k[0] in dev_pids and "XLA Ops" in v}
+
     lanes = defaultdict(list)
     for e in evs:
         if e.get("ph") == "X" and e["pid"] in dev_pids:
             lanes[(e["pid"], e.get("tid", 0))].append(
                 (float(e["ts"]), float(e["dur"]), e["name"]))
+    if op_lanes:
+        lanes = {k: v for k, v in lanes.items() if k in op_lanes}
+    else:
+        # unnamed threads: keep the single busiest (most events) lane
+        # per device pid — the op row dwarfs the module/step rows
+        best = {}
+        for (pid, tid), v in lanes.items():
+            if pid not in best or len(v) > len(lanes[best[pid]]):
+                best[pid] = (pid, tid)
+        lanes = {k: lanes[k] for k in best.values()}
     ops = defaultdict(float)
     busy = 0.0
     for lane in lanes.values():

@@ -144,6 +144,17 @@ class Config:
     # DDIM eta: 1.0 = stochastic DDPM-style posterior (exactly ancestral
     # DDPM on the full sequence), 0.0 = deterministic DDIM.
     ddpm_eta: float = 1.0
+    # Label-conditional DDPM with classifier-free guidance (Ho &
+    # Salimans 2021 "Classifier-Free Diffusion Guidance"): train one
+    # net both conditional and unconditional by dropping the label to a
+    # learned null token with prob ddpm_label_drop; at sampling,
+    # eps = (1+w) eps_cond - w eps_uncond with w = ddpm_guidance
+    # (0 = plain conditional sampling; the paper's sweet spot is
+    # w in [0.1, 4] depending on scale). The guided pair is evaluated
+    # as ONE 2n-batch net call per step (MXU-friendly), not two.
+    ddpm_cond: bool = False
+    ddpm_label_drop: float = 0.1
+    ddpm_guidance: float = 0.0
 
     # --- numerics / performance ----------------------------------------
     # Activation compute dtype; params stay f32. "auto" (the default)
@@ -289,6 +300,17 @@ class Config:
         if not 0.0 <= self.ddpm_eta <= 1.0:
             raise ValueError(
                 f"ddpm_eta must be in [0, 1], got {self.ddpm_eta}")
+        if not 0.0 <= self.ddpm_label_drop <= 1.0:
+            raise ValueError(
+                f"ddpm_label_drop must be in [0, 1], got "
+                f"{self.ddpm_label_drop}")
+        if self.ddpm_guidance < 0.0:
+            raise ValueError(
+                f"ddpm_guidance must be >= 0, got {self.ddpm_guidance}")
+        if self.ddpm_guidance > 0.0 and not self.ddpm_cond:
+            raise ValueError(
+                "ddpm_guidance requires ddpm_cond=True (guidance mixes "
+                "the conditional and null-token predictions)")
         if self.variant == "fgan":
             # fail fast with a clean message instead of a mid-trace error
             from generative_models_tpu.losses.fgan import get_divergence

@@ -56,13 +56,22 @@ def init_params(rng, cfg):
 
 def loss(params, batch, rng, cfg):
     x0 = 2.0 * batch["image"] - 1.0          # [0,1] -> [-1,1]
-    t_key, e_key = jax.random.split(rng)
+    t_key, e_key, d_key = jax.random.split(rng, 3)
     b = x0.shape[0]
     t = jax.random.randint(t_key, (b,), 0, cfg.ddpm_timesteps)
     eps = jax.random.normal(e_key, x0.shape, jnp.float32)
     abar = alphas_bar(cfg)[t][:, None]
     xt = jnp.sqrt(abar) * x0 + jnp.sqrt(1.0 - abar) * eps
-    pred = ddpm_net.net_apply(params, xt, t, cfg)
+    y = None
+    if cfg.ddpm_cond:
+        # classifier-free label dropout: replace the label with the
+        # learned null token w.p. ddpm_label_drop, so one net learns
+        # both the conditional and the marginal score (Ho & Salimans
+        # 2021 §3)
+        drop = jax.random.uniform(d_key, (b,)) < cfg.ddpm_label_drop
+        y = jnp.where(drop, cfg.num_classes,
+                      batch["label"].astype(jnp.int32))
+    pred = ddpm_net.net_apply(params, xt, t, cfg, y)
     val = jnp.mean((pred - eps) ** 2)
     return val, {"loss": val}
 
@@ -82,15 +91,31 @@ def _sample_schedule(cfg):
     return ts[::-1], ab_t[::-1], ab_prev[::-1]
 
 
-def sample(params, rng, n, cfg):
+def _sample_with_labels(params, rng, n, cfg, y):
+    """Reverse chain; y = None (unconditional / null-token) or [n] int
+    labels. With ddpm_guidance > 0 the conditional and null-token
+    predictions are computed as ONE 2n-row net call per step (a single
+    bigger matmul/conv feeds the MXU better than two small ones) and
+    mixed: eps = (1+w) eps_cond - w eps_null (Ho & Salimans 2021 Eq. 6)."""
     ts, ab_t, ab_prev = _sample_schedule(cfg)
     init_key, chain_key = jax.random.split(rng)
     x = jax.random.normal(init_key, (n, cfg.image_dim), jnp.float32)
     eta = jnp.float32(cfg.ddpm_eta)
+    w = float(cfg.ddpm_guidance)
+    guided = cfg.ddpm_cond and w > 0.0 and y is not None
+    if guided:
+        y2 = jnp.concatenate(
+            [y, jnp.full((n,), cfg.num_classes, jnp.int32)])
 
     def body(x, step):
         t, ab, abp, i = step
-        eps = ddpm_net.net_apply(params, x, jnp.full((n,), t), cfg)
+        if guided:
+            x2 = jnp.concatenate([x, x])
+            e2 = ddpm_net.net_apply(params, x2, jnp.full((2 * n,), t),
+                                    cfg, y2)
+            eps = (1.0 + w) * e2[:n] - w * e2[n:]
+        else:
+            eps = ddpm_net.net_apply(params, x, jnp.full((n,), t), cfg, y)
         x0_hat = jnp.clip((x - jnp.sqrt(1.0 - ab) * eps) / jnp.sqrt(ab),
                           -1.0, 1.0)
         sigma = eta * jnp.sqrt((1.0 - abp) / (1.0 - ab)) * jnp.sqrt(
@@ -104,6 +129,21 @@ def sample(params, rng, n, cfg):
     steps = (ts, ab_t, ab_prev, jnp.arange(ts.shape[0]))
     x, _ = jax.lax.scan(body, x, steps)
     return jnp.clip((x + 1.0) * 0.5, 0.0, 1.0)   # [-1,1] -> [0,1]
+
+
+def sample(params, rng, n, cfg):
+    y = None
+    if cfg.ddpm_cond:
+        # one column per digit in the sample grid (the CGAN convention)
+        y = jnp.arange(n) % cfg.num_classes
+    return _sample_with_labels(params, rng, n, cfg, y)
+
+
+def sample_class(params, rng, n, label, cfg):
+    """All-one-class conditional sampling (the notebooks' conditional
+    grid; mirrors losses/cgan.sample_class)."""
+    y = jnp.full((n,), label, jnp.int32)
+    return _sample_with_labels(params, rng, n, cfg, y)
 
 
 DDPM = SingleModelSpec(

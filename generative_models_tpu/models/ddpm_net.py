@@ -77,15 +77,27 @@ def timestep_embedding(t, dim: int):
 
 
 def _time_mlp_init(rng, cfg: Config):
-    r1, r2 = jax.random.split(rng)
+    r1, r2, r3 = jax.random.split(rng, 3)
     td = cfg.ddpm_time_dim
-    return [linear_init(r1, td, td), linear_init(r2, td, td)]
+    p = {"l": [linear_init(r1, td, td), linear_init(r2, td, td)]}
+    if cfg.ddpm_cond:
+        # num_classes real labels + one learned NULL token (index
+        # num_classes) for classifier-free label dropout (Ho & Salimans
+        # 2021); torch nn.Embedding default init N(0, 1)
+        p["label"] = jax.random.normal(
+            r3, (cfg.num_classes + 1, td), jnp.float32)
+    return p
 
 
-def _time_mlp_apply(params, t, cfg: Config):
+def _time_mlp_apply(params, t, cfg: Config, y=None):
     emb = timestep_embedding(t, cfg.ddpm_time_dim)
-    emb = fused_linear(emb, params[0]["w"], params[0]["b"], act="silu")
-    return fused_linear(emb, params[1]["w"], params[1]["b"], act="none")
+    if cfg.ddpm_cond:
+        if y is None:  # unconditional use of a conditional net
+            y = jnp.full(t.shape, cfg.num_classes, jnp.int32)
+        emb = emb + params["label"][y]
+    lay = params["l"]
+    emb = fused_linear(emb, lay[0]["w"], lay[0]["b"], act="silu")
+    return fused_linear(emb, lay[1]["w"], lay[1]["b"], act="none")
 
 
 # --------------------------------------------------------------------
@@ -108,8 +120,8 @@ def mlp_init(rng, cfg: Config):
     }
 
 
-def mlp_apply(params, x, t, cfg: Config):
-    emb = _time_mlp_apply(params["time"], t, cfg)
+def mlp_apply(params, x, t, cfg: Config, y=None):
+    emb = _time_mlp_apply(params["time"], t, cfg, y)
     h = fused_linear(x, params["in"]["w"], params["in"]["b"], act="none")
     h = apply_act(h + fused_linear(emb, params["t1"]["w"],
                                    params["t1"]["b"], act="none"), "silu")
@@ -166,9 +178,9 @@ def conv_unet_init(rng, cfg: Config):
     }
 
 
-def conv_unet_apply(params, x, t, cfg: Config):
+def conv_unet_apply(params, x, t, cfg: Config, y=None):
     cd = _cdt(cfg)
-    emb = _time_mlp_apply(params["time"], t, cfg)
+    emb = _time_mlp_apply(params["time"], t, cfg, y)
     h = conv_apply(params["stem"], _img(x), stride=1, act="none",
                    compute_dtype=cd).astype(jnp.float32)
     s1 = _block_apply(params["d1"], h, emb, cfg)           # 28, C
@@ -199,9 +211,11 @@ def net_init(rng, cfg: Config):
     return mlp_init(rng, cfg)
 
 
-def net_apply(params, x, t, cfg: Config):
+def net_apply(params, x, t, cfg: Config, y=None):
     """eps_hat [B, image_dim] for noisy inputs x [B, image_dim] (in the
-    [-1, 1] diffusion domain) at integer timesteps t [B]."""
+    [-1, 1] diffusion domain) at integer timesteps t [B]. With
+    cfg.ddpm_cond, y [B] int labels condition the prediction (y=None or
+    index num_classes = the learned null token)."""
     if cfg.arch == "conv":
-        return conv_unet_apply(params, x, t, cfg)
-    return mlp_apply(params, x, t, cfg)
+        return conv_unet_apply(params, x, t, cfg, y)
+    return mlp_apply(params, x, t, cfg, y)

@@ -102,7 +102,8 @@ def test_torch_oracle_mlp_forward_and_loss():
     emb = np.concatenate([np.sin(t[:, None] * freqs),
                           np.cos(t[:, None] * freqs)], -1).astype(np.float32)
     temb = torch.tensor(emb)
-    t0, t1 = _torch_linear(params["time"][0]), _torch_linear(params["time"][1])
+    t0 = _torch_linear(params["time"]["l"][0])
+    t1 = _torch_linear(params["time"]["l"][1])
     silu = torch.nn.SiLU()
     temb = t1(silu(t0(temb)))
     lin_in = _torch_linear(params["in"])
@@ -186,3 +187,75 @@ def test_config_validation():
         tiny_cfg("ddpm", ddpm_sample_steps=51, ddpm_timesteps=50)
     with pytest.raises(ValueError, match="ddpm_eta"):
         tiny_cfg("ddpm", ddpm_eta=1.5)
+    with pytest.raises(ValueError, match="ddpm_guidance"):
+        tiny_cfg("ddpm", ddpm_guidance=1.0)  # requires ddpm_cond
+    with pytest.raises(ValueError, match="ddpm_label_drop"):
+        tiny_cfg("ddpm", ddpm_cond=True, ddpm_label_drop=1.5)
+
+
+# ------------------------------------------------------------------
+# Conditional DDPM + classifier-free guidance (Ho & Salimans 2021)
+# ------------------------------------------------------------------
+
+def test_cond_full_dropout_ignores_labels(tiny_data):
+    """With ddpm_label_drop=1.0 every label is replaced by the null
+    token, so the loss must be IDENTICAL for any label assignment under
+    the same rng — pins the dropout path."""
+    cfg = tiny_cfg("ddpm", ddpm_cond=True, ddpm_label_drop=1.0)
+    params = DDPM.init_params(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(
+        tiny_data["x_train"][:32].reshape(32, -1) / 255.0, jnp.float32)
+    rng = jax.random.PRNGKey(2)
+    v1, _ = loss(params, {"image": x, "label": jnp.zeros(32, jnp.int32)},
+                 rng, cfg)
+    v2, _ = loss(params, {"image": x, "label": jnp.ones(32, jnp.int32) * 7},
+                 rng, cfg)
+    assert float(v1) == float(v2)
+
+
+def test_cond_labels_change_loss(tiny_data):
+    """With dropout off and a nonzero label table, different labels
+    give different predictions (the conditioning is wired through)."""
+    cfg = tiny_cfg("ddpm", ddpm_cond=True, ddpm_label_drop=0.0)
+    params = DDPM.init_params(jax.random.PRNGKey(0), cfg)
+    # randomize the zero-init OUT head so the label-conditioned trunk
+    # actually reaches the output
+    from generative_models_tpu.models.mlp import linear_init
+    params["out"] = linear_init(jax.random.PRNGKey(4), cfg.hidden_dim,
+                                cfg.image_dim)
+    x = jnp.asarray(
+        tiny_data["x_train"][:32].reshape(32, -1) / 255.0, jnp.float32)
+    rng = jax.random.PRNGKey(2)
+    v1, _ = loss(params, {"image": x, "label": jnp.zeros(32, jnp.int32)},
+                 rng, cfg)
+    v2, _ = loss(params, {"image": x, "label": jnp.ones(32, jnp.int32) * 7},
+                 rng, cfg)
+    assert float(v1) != float(v2)
+
+
+def test_cond_trains_and_guided_sampling(tiny_data):
+    from generative_models_tpu.losses.ddpm import sample_class
+    from generative_models_tpu.train.trainer import Trainer
+    cfg = tiny_cfg("ddpm", batch_size=64, ddpm_cond=True,
+                   ddpm_beta_end=0.3, g_lr=2e-3)
+    t = Trainer(config=cfg, data=tiny_data)
+    hist = t.train(steps=40)
+    assert np.all(np.isfinite(hist["loss"]))
+
+    # guided sampling: w=0 vs w>0 differ; both valid images
+    p = t.state["ema"]
+    rng = jax.random.PRNGKey(5)
+    a = np.asarray(_sample_with_guidance(p, rng, 8, cfg, 0.0))
+    b = np.asarray(_sample_with_guidance(p, rng, 8, cfg, 2.0))
+    for s in (a, b):
+        assert s.shape == (8, 784)
+        assert s.min() >= 0.0 and s.max() <= 1.0 and np.isfinite(s).all()
+    assert np.abs(a - b).max() > 0
+    # class-conditional grid helper
+    c = np.asarray(sample_class(p, rng, 4, 3, cfg.replace(
+        ddpm_guidance=1.0)))
+    assert c.shape == (4, 784) and np.isfinite(c).all()
+
+
+def _sample_with_guidance(params, rng, n, cfg, w):
+    return sample(params, rng, n, cfg.replace(ddpm_guidance=w))

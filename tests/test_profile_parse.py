@@ -56,12 +56,51 @@ def test_nested_self_time_and_busy(tmp_path):
     assert abs(sum(ops.values()) - busy) < 1e-9
 
 
-def test_parallel_lanes_sum(tmp_path):
+def test_parallel_module_and_step_lanes_not_double_counted(tmp_path):
+    """A device pid carries parallel tid rows describing the SAME
+    microseconds (Modules / Ops / Steps). With thread_name metadata,
+    only the "XLA Ops" lane counts; separate device pids (cores) sum."""
+    events = [
+        {"ph": "M", "pid": 7, "name": "process_name",
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "pid": 7, "tid": 1, "name": "thread_name",
+         "args": {"name": "Steps"}},
+        {"ph": "M", "pid": 7, "tid": 2, "name": "thread_name",
+         "args": {"name": "XLA Modules"}},
+        {"ph": "M", "pid": 7, "tid": 3, "name": "thread_name",
+         "args": {"name": "XLA Ops"}},
+        {"ph": "M", "pid": 8, "name": "process_name",
+         "args": {"name": "/device:TPU:1"}},
+        {"ph": "M", "pid": 8, "tid": 3, "name": "thread_name",
+         "args": {"name": "XLA Ops"}},
+        # same 40us viewed on three lanes of pid 7
+        {"ph": "X", "pid": 7, "tid": 1, "name": "2", "ts": 0, "dur": 40},
+        {"ph": "X", "pid": 7, "tid": 2, "name": "jit_f", "ts": 0,
+         "dur": 40},
+        {"ph": "X", "pid": 7, "tid": 3, "name": "matmul", "ts": 0,
+         "dur": 25},
+        {"ph": "X", "pid": 7, "tid": 3, "name": "fusion", "ts": 25,
+         "dur": 15},
+        # a second core contributes its own op lane
+        {"ph": "X", "pid": 8, "tid": 3, "name": "matmul", "ts": 0,
+         "dur": 10},
+    ]
+    ops, busy = parse_device_ops(_write_trace(tmp_path, events))
+    assert busy == 50.0                        # 40 (pid 7) + 10 (pid 8)
+    assert ops == {"matmul": 35.0, "fusion": 15.0}
+
+
+def test_unnamed_threads_fall_back_to_busiest_lane(tmp_path):
     events = [
         {"ph": "M", "pid": 7, "name": "process_name",
          "args": {"name": "TPU core 0"}},
-        {"ph": "X", "pid": 7, "tid": 1, "name": "a", "ts": 0, "dur": 10},
-        {"ph": "X", "pid": 7, "tid": 2, "name": "b", "ts": 0, "dur": 10},
+        # module-ish lane: 1 big event; op-ish lane: 3 events
+        {"ph": "X", "pid": 7, "tid": 1, "name": "jit_f", "ts": 0,
+         "dur": 30},
+        {"ph": "X", "pid": 7, "tid": 2, "name": "a", "ts": 0, "dur": 10},
+        {"ph": "X", "pid": 7, "tid": 2, "name": "b", "ts": 10, "dur": 10},
+        {"ph": "X", "pid": 7, "tid": 2, "name": "c", "ts": 20, "dur": 10},
     ]
     ops, busy = parse_device_ops(_write_trace(tmp_path, events))
-    assert busy == 20.0 and ops == {"a": 10.0, "b": 10.0}
+    assert busy == 30.0
+    assert ops == {"a": 10.0, "b": 10.0, "c": 10.0}
