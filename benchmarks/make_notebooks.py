@@ -111,6 +111,20 @@ show_grid(np.asarray(imgs), "columns cycle the categorical code",
           n=80, cols=cfg.info_cat_dim)'''
 
 
+DDPM_SAMPLERS = '''\
+# One trained net, the whole sampler family (Song 2021): ancestral
+# DDPM (eta=1, full T) is what show_grid above used; here the same
+# weights sampled with a 20x cheaper strided deterministic DDIM chain
+# (50 net evals instead of T=1000) — sampling cost is a free dial at
+# inference time, no retraining.
+import jax
+from generative_models_tpu.losses.ddpm import sample as ddpm_sample
+
+fast = ddpm_sample(t.state["ema"], jax.random.PRNGKey(2), 32,
+                   cfg.replace(ddpm_sample_steps=50, ddpm_eta=0.0))
+show_grid(np.asarray(fast), "50-step deterministic DDIM, same weights",
+          n=32)'''
+
 CONV_MD = '''\
 # The second architecture: DCGAN-style conv stacks (`--arch conv`)
 
@@ -211,6 +225,8 @@ def build_notebook(variant: str) -> nbf.NotebookNode:
         cells.append(nbf.v4.new_code_cell(CGAN_COND))
     if variant == "infogan":
         cells.append(nbf.v4.new_code_cell(INFOGAN_CODE))
+    if variant == "ddpm":
+        cells.append(nbf.v4.new_code_cell(DDPM_SAMPLERS))
     nb.cells = cells
     return nb
 

@@ -26,7 +26,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def bench_sampler(variant, arch, n, reps=64):
+def bench_sampler(variant, arch, n, reps=64, **cfg_over):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -34,7 +34,7 @@ def bench_sampler(variant, arch, n, reps=64):
     from generative_models_tpu.config import variant_config
     from generative_models_tpu.losses.registry import get_variant
 
-    cfg = variant_config(variant, arch=arch)
+    cfg = variant_config(variant, arch=arch, **cfg_over)
     spec = get_variant(variant)
     params = (spec.init_g if spec.adversarial else spec.init_params)(
         jax.random.PRNGKey(0), cfg)
@@ -67,17 +67,27 @@ def main():
     ap.add_argument("--arch", nargs="*", default=["mlp", "conv"])
     ap.add_argument("--batches", nargs="*", type=int,
                     default=[64, 1024, 8192])
+    # batches fused per dispatch; drop for expensive samplers (a DDPM
+    # image costs sample_steps net evals, not one)
+    ap.add_argument("--reps", type=int, default=64)
+    # ddpm only: sweep the reverse-chain length (the inference-cost
+    # dial); each entry is one row
+    ap.add_argument("--sample-steps", nargs="*", type=int, default=[None])
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     rows = []
     for arch in args.arch:
         for n in args.batches:
-            ips = bench_sampler(args.variant, arch, n)
-            row = {"variant": args.variant, "arch": arch, "batch": n,
-                   "images_per_sec": round(ips, 1)}
-            rows.append(row)
-            print(json.dumps(row), flush=True)
+            for ss in args.sample_steps:
+                over = {} if ss is None else {"ddpm_sample_steps": ss}
+                ips = bench_sampler(args.variant, arch, n,
+                                    reps=args.reps, **over)
+                row = {"variant": args.variant, "arch": arch, "batch": n,
+                       **({"sample_steps": ss} if ss is not None else {}),
+                       "images_per_sec": round(ips, 1)}
+                rows.append(row)
+                print(json.dumps(row), flush=True)
 
     out = args.out or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "serving_results.json")

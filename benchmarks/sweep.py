@@ -97,6 +97,15 @@ def main():
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "sweep_results.json" if args.arch == "mlp"
                        else "sweep_results_conv.json")
+    if args.variants and os.path.isfile(out):
+        # partial sweep: merge by variant instead of clobbering the
+        # rows that didn't run (same rule as quality_sweep.py). NOTE:
+        # merged rows keep their own session's torch/JAX pairing — the
+        # ratio column is honest per row, not cross-comparable.
+        with open(out) as f:
+            old = {r["variant"]: r for r in json.load(f)}
+        old.update({r["variant"]: r for r in results})
+        results = sorted(old.values(), key=lambda r: r["variant"])
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
 
