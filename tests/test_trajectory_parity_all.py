@@ -714,3 +714,94 @@ def test_nsgan_conv_50_step_trajectory_matches_torch(monkeypatch):
     np.testing.assert_allclose(j_d, t_d, rtol=8e-3, atol=8e-4)
     np.testing.assert_allclose(j_g, t_g, rtol=8e-3, atol=8e-4)
     np.testing.assert_allclose(j_d[:5], t_d[:5], rtol=1e-4, atol=1e-5)
+
+
+# =====================================================================
+# DDPM (beyond-reference family): the same 50-step evidence bar
+# =====================================================================
+
+def test_ddpm_50_step_trajectory_matches_torch():
+    """Same weights, same replayed (t, eps) draws, same Adam: the
+    diffusion family's loss curve matches an independent torch replica
+    step-for-step. out/skip get RANDOM weights here (overriding the
+    zero-init policy) so every layer trains from step 0."""
+    TD, T = 16, 50
+    rng = np.random.default_rng(21)
+    time_ws = [_np_linear(rng, TD, TD), _np_linear(rng, TD, TD)]
+    in_w = _np_linear(rng, XD, H)
+    t1_w = _np_linear(rng, TD, H)
+    mid_w = _np_linear(rng, H, H)
+    t2_w = _np_linear(rng, TD, H)
+    out_w = _np_linear(rng, H, XD)
+    skip_w = _np_linear(rng, XD, XD)
+    xs = rng.random((STEPS, B, XD), dtype=np.float32)
+
+    cfg = variant_config("ddpm", batch_size=B, hidden_dim=H,
+                         ddpm_time_dim=TD, ddpm_timesteps=T,
+                         ddpm_beta_end=0.3)
+    assert cfg.d_steps == 0 and cfg.adam_b1 == 0.9
+    spec = get_variant("ddpm")
+    state = step_lib.init_state(spec, cfg, jax.random.PRNGKey(0))
+    state["params"] = {
+        "time": {"l": _jx_params(time_ws)},
+        "in": _jx_params([in_w])[0], "t1": _jx_params([t1_w])[0],
+        "mid": _jx_params([mid_w])[0], "t2": _jx_params([t2_w])[0],
+        "out": _jx_params([out_w])[0], "skip": _jx_params([skip_w])[0],
+    }
+    state["opt"] = make_tx(cfg, cfg.g_lr).init(state["params"])
+    if "ema" in state:
+        state["ema"] = state["params"]
+
+    # replay the single-model step's rng chain: split per step, then
+    # the loss's 3-way split -> (t draw, eps draw, label-drop draw)
+    ts = np.zeros((STEPS, B), np.int64)
+    eps = np.zeros((STEPS, B, XD), np.float32)
+    r = state["rng"]
+    for k in range(STEPS):
+        r, key = jax.random.split(r)
+        tk, ek, _ = jax.random.split(key, 3)
+        ts[k] = np.asarray(jax.random.randint(tk, (B,), 0, T))
+        eps[k] = np.asarray(jax.random.normal(ek, (B, XD)))
+
+    # torch replica
+    t0 = torch.nn.Linear(TD, TD); t1 = torch.nn.Linear(TD, TD)
+    lin_in = torch.nn.Linear(XD, H); lin_t1 = torch.nn.Linear(TD, H)
+    lin_mid = torch.nn.Linear(H, H); lin_t2 = torch.nn.Linear(TD, H)
+    lin_out = torch.nn.Linear(H, XD); lin_skip = torch.nn.Linear(XD, XD)
+    _copy_into([t0, t1], time_ws)
+    _copy_into([lin_in, lin_t1, lin_mid, lin_t2, lin_out, lin_skip],
+               [in_w, t1_w, mid_w, t2_w, out_w, skip_w])
+    mods = [t0, t1, lin_in, lin_t1, lin_mid, lin_t2, lin_out, lin_skip]
+    opt = _adam_like(cfg, [p for m in mods for p in m.parameters()],
+                     cfg.g_lr)
+    silu = torch.nn.SiLU()
+    betas = np.linspace(cfg.ddpm_beta_start, cfg.ddpm_beta_end, T)
+    abar = np.cumprod(1.0 - betas).astype(np.float32)
+    half = TD // 2
+    freqs = np.exp(-np.log(1e4) * np.arange(half)
+                   / max(half - 1, 1)).astype(np.float32)
+
+    t_l = []
+    for k in range(STEPS):
+        x0 = 2.0 * torch.from_numpy(xs[k]) - 1.0
+        a = torch.from_numpy(abar[ts[k]])[:, None]
+        e = torch.from_numpy(eps[k])
+        xt = a.sqrt() * x0 + (1 - a).sqrt() * e
+        args = torch.from_numpy(
+            ts[k][:, None].astype(np.float32) * freqs[None, :])
+        emb = t1(silu(t0(torch.cat([args.sin(), args.cos()], -1))))
+        h = silu(lin_in(xt) + lin_t1(emb))
+        h = silu(lin_mid(h) + lin_t2(emb))
+        pred = lin_out(h) + lin_skip(xt)
+        loss = ((pred - e) ** 2).mean()
+        opt.zero_grad(); loss.backward(); opt.step()
+        t_l.append(loss.item())
+
+    train_step = step_lib.build_step(spec, cfg)
+    j_l = []
+    for k in range(STEPS):
+        batch = {"image": jnp.asarray(xs[k][None]),
+                 "label": jnp.zeros((1, B), jnp.int32)}
+        state, m_ = train_step(state, batch)
+        j_l.append(float(m_["loss"]))
+    _assert_curves(j_l, t_l)
