@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Classifier-free guidance ablation (Ho & Salimans 2021): train ONE
+conditional DDPM, then score samples from the SAME weights at several
+guidance scales w — the diffusion analogue of this repo's EMA/spectral
+ablations. eps = (1+w) eps_cond - w eps_null; w=0 is plain conditional
+sampling.
+
+    python benchmarks/ddpm_guidance_ablation.py [--steps 20000]
+        [--scales 0 1 2 4] [--arch mlp]
+
+Writes benchmarks/ddpm_guidance.json.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=20000)
+    ap.add_argument("--scan", type=int, default=1000)
+    ap.add_argument("--n", type=int, default=2048)
+    ap.add_argument("--arch", default="mlp", choices=("mlp", "conv"))
+    ap.add_argument("--scales", nargs="*", type=float,
+                    default=[0.0, 1.0, 2.0, 4.0])
+    args = ap.parse_args()
+
+    from __graft_entry__ import ensure_live_backend
+    alive = ensure_live_backend()
+
+    import jax
+
+    from generative_models_tpu.config import variant_config
+    from generative_models_tpu.data.mnist import load_mnist, to_flat_float
+    from generative_models_tpu.losses.ddpm import sample as ddpm_sample
+    from generative_models_tpu.train.trainer import Trainer
+    from generative_models_tpu.utils.quality import (
+        classifier_accuracy,
+        fid_score,
+        score_samples,
+        train_classifier,
+    )
+
+    raw = load_mnist(allow_synthetic=True, synthetic_sizes=(12000, 2000))
+    flat = to_flat_float(raw)
+    clf = train_classifier(flat["x_train"], flat["y_train"])
+    acc = classifier_accuracy(clf, flat["x_test"], flat["y_test"])
+    print(json.dumps({"classifier_test_acc": round(acc, 4)}), flush=True)
+
+    cfg = variant_config("ddpm", arch=args.arch, ddpm_cond=True,
+                         scan_steps=args.scan, seed=0)
+    t = Trainer(config=cfg, data=raw)
+    t.train(steps=args.steps)
+    params = t.state["ema"]
+
+    real_ref = flat["x_test"][:args.n]
+    rows = []
+    for w in args.scales:
+        scfg = cfg.replace(ddpm_guidance=w)
+        samples = ddpm_sample(params, jax.random.PRNGKey(7), args.n, scfg)
+        scores = score_samples(clf, samples)
+        scores["fid"] = fid_score(clf, real_ref, samples)
+        row = {"guidance": w,
+               **{k: round(float(v), 4) for k, v in scores.items()}}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    out = {"config": {"arch": args.arch, "steps": args.steps,
+                      "n": args.n, "backend_alive": alive},
+           "rows": rows}
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "ddpm_guidance.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()

@@ -46,6 +46,9 @@ for i in $(seq 1 100); do
     run_job sweepc_ddpm 1800 python benchmarks/sweep.py --arch conv \
       --variants ddpm --no-torch &&
     probe &&
+    run_job guid_ddpm 3600 python benchmarks/ddpm_guidance_ablation.py \
+      --arch conv --steps 20000 &&
+    probe &&
     run_job nb_ddpm 2400 env GMTPU_NB_STEPS=6000 \
       python benchmarks/make_notebooks.py --execute --variants ddpm &&
     { echo "[watch2] ALL JOBS DONE $(date)" >> "$LOG"; exit 0; }
