@@ -35,6 +35,11 @@ def bench_sampler(variant, arch, n, reps=64, **cfg_over):
     from generative_models_tpu.losses.registry import get_variant
 
     cfg = variant_config(variant, arch=arch, **cfg_over)
+    # resolve dtype="auto" the way the Trainer does, so serving rows
+    # measure the dtype a default-config user actually gets (conv
+    # crosses to bf16 at batch >= 512 on a real TPU — config.py)
+    from generative_models_tpu.config import resolve_dtype
+    cfg = cfg.replace(dtype=resolve_dtype(cfg, jax.devices()[0].platform))
     spec = get_variant(variant)
     params = (spec.init_g if spec.adversarial else spec.init_params)(
         jax.random.PRNGKey(0), cfg)
@@ -75,6 +80,9 @@ def main():
     ap.add_argument("--sample-steps", nargs="*", type=int, default=[None])
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
+
+    from __graft_entry__ import ensure_live_backend
+    ensure_live_backend()
 
     rows = []
     for arch in args.arch:

@@ -52,6 +52,9 @@ def main():
     if args.arch == "conv" and not args.variants:
         args.variants = ["nsgan"]
 
+    from __graft_entry__ import ensure_live_backend
+    ensure_live_backend()
+
     from generative_models_tpu.config import variant_config
     from generative_models_tpu.data.mnist import load_mnist
     from generative_models_tpu.losses.registry import available_variants

@@ -82,13 +82,19 @@ def _sample_schedule(cfg):
     (t -> data) step = 1."""
     t_count = cfg.ddpm_timesteps
     s_count = cfg.ddpm_sample_steps or t_count
-    # evenly spaced ascending subsequence 0..T-1 (includes both ends)
-    ts = jnp.round(jnp.linspace(0.0, t_count - 1, s_count)).astype(jnp.int32)
+    # evenly spaced DESCENDING subsequence T-1..0. Built descending so
+    # S=1 keeps the T-1 end (the chain starts from pure noise, so the
+    # one net eval must be conditioned on the noisiest timestep;
+    # linspace(0, T-1, 1) == [0] silently dropped it — round-3 review).
+    ts_desc = jnp.round(
+        jnp.linspace(float(t_count - 1), 0.0, s_count)).astype(jnp.int32)
     abar = alphas_bar(cfg)
-    ab_t = abar[ts]
-    ab_prev = jnp.concatenate([jnp.ones((1,), jnp.float32), ab_t[:-1]])
-    # reverse: scan walks t = T-1 ... 0
-    return ts[::-1], ab_t[::-1], ab_prev[::-1]
+    ab_t = abar[ts_desc]
+    # ascending-order predecessor: abar of the NEXT (less noisy) entry,
+    # 1.0 for the final (t -> data) step
+    ab_prev = jnp.concatenate(
+        [ab_t[1:], jnp.ones((1,), jnp.float32)])
+    return ts_desc, ab_t, ab_prev
 
 
 def _sample_with_labels(params, rng, n, cfg, y):

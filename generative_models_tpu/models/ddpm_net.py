@@ -90,14 +90,17 @@ def _time_mlp_init(rng, cfg: Config):
 
 
 def _time_mlp_apply(params, t, cfg: Config, y=None):
+    cd = _cdt(cfg)
     emb = timestep_embedding(t, cfg.ddpm_time_dim)
     if cfg.ddpm_cond:
         if y is None:  # unconditional use of a conditional net
             y = jnp.full(t.shape, cfg.num_classes, jnp.int32)
         emb = emb + params["label"][y]
     lay = params["l"]
-    emb = fused_linear(emb, lay[0]["w"], lay[0]["b"], act="silu")
-    return fused_linear(emb, lay[1]["w"], lay[1]["b"], act="none")
+    emb = fused_linear(emb, lay[0]["w"], lay[0]["b"], act="silu",
+                       compute_dtype=cd)
+    return fused_linear(emb, lay[1]["w"], lay[1]["b"], act="none",
+                        compute_dtype=cd)
 
 
 # --------------------------------------------------------------------
@@ -121,17 +124,23 @@ def mlp_init(rng, cfg: Config):
 
 
 def mlp_apply(params, x, t, cfg: Config, y=None):
+    cd = _cdt(cfg)
     emb = _time_mlp_apply(params["time"], t, cfg, y)
-    h = fused_linear(x, params["in"]["w"], params["in"]["b"], act="none")
+    h = fused_linear(x, params["in"]["w"], params["in"]["b"], act="none",
+                     compute_dtype=cd)
     h = apply_act(h + fused_linear(emb, params["t1"]["w"],
-                                   params["t1"]["b"], act="none"), "silu")
-    h = fused_linear(h, params["mid"]["w"], params["mid"]["b"], act="none")
+                                   params["t1"]["b"], act="none",
+                                   compute_dtype=cd), "silu")
+    h = fused_linear(h, params["mid"]["w"], params["mid"]["b"],
+                     act="none", compute_dtype=cd)
     h = apply_act(h + fused_linear(emb, params["t2"]["w"],
-                                   params["t2"]["b"], act="none"), "silu")
-    return (fused_linear(h, params["out"]["w"], params["out"]["b"],
-                         act="none")
-            + fused_linear(x, params["skip"]["w"], params["skip"]["b"],
-                           act="none"))
+                                   params["t2"]["b"], act="none",
+                                   compute_dtype=cd), "silu")
+    out = (fused_linear(h, params["out"]["w"], params["out"]["b"],
+                        act="none", compute_dtype=cd)
+           + fused_linear(x, params["skip"]["w"], params["skip"]["b"],
+                          act="none", compute_dtype=cd))
+    return out.astype(jnp.float32)
 
 
 # --------------------------------------------------------------------

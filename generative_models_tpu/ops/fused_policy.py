@@ -160,9 +160,16 @@ def resolve_auto(spec, cfg) -> bool:
         return bool(cached["use_fused"])
     try:
         rates = _measure_pair(spec, cfg)
-    except Exception as e:  # kernel failure == measurement: XLA wins
-        _store(key, {"use_fused": False, "error": repr(e)[:200]})
-        return False
+    except Exception:
+        # Measurement failures are often TRANSIENT (tunnel drop mid-A/B,
+        # co-tenant OOM) — do NOT cache the verdict, or one glitch pins
+        # this host to the XLA step forever (round-3 review). Fall back
+        # to the round-2 static list, as the module docstring promises;
+        # a healthy later build re-measures.
+        from generative_models_tpu.ops.pallas_train import (
+            FUSED_AUTO_WINNERS,
+        )
+        return cfg.variant in FUSED_AUTO_WINNERS
     use_fused = rates["fused"] >= _WIN_MARGIN * rates["xla"]
     _store(key, {"use_fused": use_fused,
                  "fused_steps_per_sec": round(rates["fused"], 1),

@@ -89,7 +89,12 @@ def fused_dp_supported(spec, cfg):
             return False, (f"{cfg.variant} is single-model; its XLA DP "
                            "step is already one fused region")
         return False, f"fused DP covers {FUSED_DP_VARIANTS} only"
-    ok, reason = fused_step_supported(spec, cfg)
+    # Check the PER-DEVICE kernel constraints: fused_step_supported
+    # rejects cfg.dp > 1 outright ("fused_step is single-device") —
+    # that is exactly the case this path exists for, so strip the
+    # parallelism degrees before delegating (--dp N sets cfg.dp = N;
+    # the round-3 review found the CLI route unreachable otherwise).
+    ok, reason = fused_step_supported(spec, cfg.replace(dp=1, tp=1))
     if not ok:
         return False, reason
     return True, ""

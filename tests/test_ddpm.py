@@ -55,6 +55,20 @@ def test_strided_schedule_endpoints():
     assert ab_prev[-1] == 1.0               # final step maps to data
 
 
+def test_one_step_schedule_uses_noisiest_timestep():
+    """S=1: the single net eval denoises FROM pure noise, so it must be
+    conditioned on t = T-1 (the ascending-linspace form silently used
+    t=0 — round-3 review finding)."""
+    cfg = tiny_cfg("ddpm", ddpm_timesteps=100, ddpm_sample_steps=1)
+    ts, ab_t, ab_prev = map(np.asarray, _sample_schedule(cfg))
+    assert list(ts) == [99]
+    assert ab_prev[0] == 1.0
+    # and the sampler runs end-to-end on it
+    params = DDPM.init_params(jax.random.PRNGKey(0), cfg)
+    s = np.asarray(sample(params, jax.random.PRNGKey(1), 4, cfg))
+    assert s.shape == (4, cfg.image_dim) and np.isfinite(s).all()
+
+
 def test_zero_init_head_gives_unit_loss(tiny_data):
     """Untrained net predicts eps = 0 (zero-init output layer), so the
     simple loss is E||eps||^2 -> 1 over a large batch. Pins the init

@@ -122,6 +122,22 @@ def test_trainer_fused_dp_matches_xla_trainer(tiny_data):
     assert int(t_fused.state["step"]) == 6
 
 
+def test_trainer_fused_dp_reachable_with_cfg_dp(tiny_data):
+    """The CLI route sets cfg.dp = N (not just a mesh): --dp 4
+    --fused-step must reach the fused-DP builder, not be rejected by
+    the single-device kernel's own dp>1 guard (round-3 review: the
+    delegation made the documented composition unreachable)."""
+    from generative_models_tpu.losses.registry import get_variant
+    from generative_models_tpu.ops.pallas_dp import fused_dp_supported
+    cfg = tiny_cfg("nsgan", fused_step=True, dp=4)
+    ok, reason = fused_dp_supported(get_variant("nsgan"), cfg)
+    assert ok, reason
+    t = Trainer(config=cfg, data=tiny_data, mesh=cpu_mesh(4))
+    hist = t.train(steps=4)
+    assert np.all(np.isfinite(hist["d_loss"]))
+    assert int(t.state["step"]) == 4
+
+
 def test_trainer_fused_dp_tp_refused(tiny_data):
     from generative_models_tpu.parallel.tp import make_mesh_2d
     mesh = make_mesh_2d(2, 4, devices=jax.devices("cpu")[:8])

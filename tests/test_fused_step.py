@@ -284,7 +284,9 @@ def test_resolve_auto_measured_policy(monkeypatch, tmp_path):
     """The per-host measured policy (VERDICT r2 #2): a micro A/B on
     first fused-eligible build, verdict cached by (host, variant,
     shapes). A fake slow-kernel measurement must flip a static winner
-    to XLA; the cache must stick; failures resolve to XLA."""
+    to XLA; the cache must stick; measurement failures fall back to
+    the static list WITHOUT caching (transient glitches must not pin
+    the host)."""
     from generative_models_tpu.ops import fused_policy as fp
 
     monkeypatch.setenv("GMTPU_POLICY_CACHE", str(tmp_path / "p.json"))
@@ -310,12 +312,20 @@ def test_resolve_auto_measured_policy(monkeypatch, tmp_path):
     assert fp.resolve_auto(
         spec, variant_config("nsgan", batch_size=128)) is False
 
-    # measurement failure -> XLA, cached with the error
+    # measurement failure -> the static list, and NOT cached (a
+    # transient tunnel glitch must not pin the host to one arm forever)
     def boom(s, c):
         raise RuntimeError("kernel exploded")
     monkeypatch.setattr(fp, "_measure_pair", boom)
+    cfg64 = variant_config("nsgan", batch_size=64)
+    assert fp.resolve_auto(spec, cfg64) is True      # static winner
     assert fp.resolve_auto(
-        spec, variant_config("nsgan", batch_size=64)) is False
+        get_variant("fgan"), variant_config("fgan", batch_size=64)
+    ) is False                                       # static non-winner
+    # a healthy later measurement is not blocked by a cached failure
+    monkeypatch.setattr(fp, "_measure_pair",
+                        lambda s, c: {"fused": 50.0, "xla": 100.0})
+    assert fp.resolve_auto(spec, cfg64) is False
 
     # measurement disabled -> the static round-2 list
     monkeypatch.setenv("GMTPU_FUSED_AB", "0")
