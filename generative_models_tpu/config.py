@@ -192,10 +192,14 @@ class Config:
     # the mlp stacks, single device.
     #   "auto" (default): use the kernel iff the config is in its
     #     support matrix AND running single-device on a real TPU AND
-    #     the variant is one the fenced chip sweep measured at >= XLA
-    #     parity (BASELINE.md fused-kernel table: geomean 1.109x;
-    #     wgan 0.815x / birvae 0.917x are the measured opt-outs);
-    #     otherwise fall back to the XLA step silently.
+    #     the kernel is measured to win ON THIS HOST — a one-time
+    #     value-fenced micro A/B per (host, variant, shapes), cached in
+    #     ~/.cache/gmtpu/fused_auto.json (ops/fused_policy.py; the
+    #     fused-vs-XLA margin flips with the host the tunnel lands on,
+    #     BASELINE.md cross-session table). Off-TPU, with GMTPU_FUSED_AB=0,
+    #     or on measurement failure: the round-2 static sweep list
+    #     (FUSED_AUTO_WINNERS). Unsupported configs fall back to the
+    #     XLA step silently.
     #   True: force the kernel; the trainer refuses unsupported
     #     combinations with the reason
     #     (ops/pallas_train.fused_step_supported).
