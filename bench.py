@@ -121,9 +121,16 @@ def bench_torch(data):
 def main():
     # A dead/hung axon tunnel must degrade to an honest CPU-jax run,
     # not hang the driver's bench step (probe runs in a subprocess
-    # with a timeout; see __graft_entry__.ensure_live_backend).
+    # with a timeout; see __graft_entry__.ensure_live_backend). But a
+    # tunnel that is merely COLD answers a later probe — the round-3
+    # driver bench lost its chip number to one 90 s probe against a
+    # >90 s-cold backend init. Policy (BASELINE.md "probe policy"):
+    # per-probe budget 240 s (the documented cold-init bound), up to 3
+    # probes 90 s apart (~13 min worst case, inside the driver's bench
+    # budget) before accepting the labeled CPU fallback.
     from __graft_entry__ import ensure_live_backend
-    backend_alive = ensure_live_backend()
+    backend_alive = ensure_live_backend(timeout=240, retries=3,
+                                        retry_wait=90)
 
     from generative_models_tpu.data.mnist import load_mnist
 
