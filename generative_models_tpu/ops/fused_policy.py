@@ -14,6 +14,13 @@ measured on THIS host:
   is a scalar fetch), warmup chunk excluded;
 - cache the verdict in ``~/.cache/gmtpu/fused_auto.json`` keyed by
   (host tag, variant, shape signature); subsequent builds are free;
+- the host tag includes a REMOTE-host fingerprint (see
+  ``_remote_fingerprint``) and entries expire after
+  ``GMTPU_POLICY_TTL_S`` (default 24 h): ``platform.node()`` is the
+  LOCAL sandbox and every v5e reports the same ``device_kind``, so
+  neither changes when the axon tunnel re-lands on a different remote
+  machine — yet the margin the policy tracks does (round-3 VERDICT
+  weak #2);
 - off-TPU, when measurement is disabled (``GMTPU_FUSED_AB=0``), or on
   any measurement failure, fall back to the round-2 static list
   (``pallas_train.FUSED_AUTO_WINNERS``).
@@ -21,13 +28,16 @@ measured on THIS host:
 The measurement costs one extra compile of each arm at a short scan
 (~hundreds of steps); per-step rate at short scans tracks the long-scan
 ranking because both arms amortize dispatch identically within one
-chunk. `GMTPU_FUSED_AB_STEPS` overrides the sample size.
+chunk. `GMTPU_FUSED_AB_STEPS` overrides the sample size (read at
+measurement time, not import time).
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
+import sys
 import time
 
 import numpy as np
@@ -35,22 +45,80 @@ import numpy as np
 _CACHE_ENV = "GMTPU_POLICY_CACHE"
 _DEFAULT_CACHE = os.path.join(
     os.path.expanduser("~"), ".cache", "gmtpu", "fused_auto.json")
-# steps per timed rep; 3 reps per arm, best-of taken
-_AB_STEPS = int(os.environ.get("GMTPU_FUSED_AB_STEPS", "512"))
+# steps per timed rep (default; GMTPU_FUSED_AB_STEPS overrides at
+# measurement time); 3 reps per arm, best-of taken
+_AB_STEPS_DEFAULT = 512
 _AB_REPS = 3
 # the kernel must beat XLA by this margin to win (ties -> XLA, the
 # simpler path — same tie-break rule round 2 used)
 _WIN_MARGIN = 1.01
+# cached verdicts expire: a long-lived sandbox can span an axon tunnel
+# re-land that the fingerprint fails to catch (the RTT bucket is
+# coarse), so a day-old verdict re-measures. One A/B per (variant,
+# shapes) per day is cheap next to pinning the wrong path silently.
+_TTL_ENV = "GMTPU_POLICY_TTL_S"
+_TTL_DEFAULT = 24 * 3600.0
+
+_HOST_FP = None  # memo: the fingerprint costs device dispatches
 
 
 def _cache_path() -> str:
     return os.environ.get(_CACHE_ENV, _DEFAULT_CACHE)
 
 
+def _remote_fingerprint() -> str:
+    """Identify the REMOTE machine behind the axon tunnel.
+
+    The local hostname + device_kind pair (the round-3 host tag) does
+    NOT identify it: the sandbox hostname never changes and every v5e
+    reports the same kind, but the fused-vs-XLA margin tracks the
+    remote host the tunnel lands on (BASELINE.md cross-session table).
+    Prefer a plugin-exposed device identity; if none exists (the axon
+    plugin exposes none today), bucket the measured dispatch round-trip
+    latency in factor-of-2 bins — a re-land that moves the RTT by >2x
+    flips the bucket and forces a re-measure, and the TTL catches the
+    rest. Each probe dispatch uses a DIFFERENT input value because the
+    tunnel memoizes identical dispatches (BASELINE.md timing note).
+
+    Memoized per process; ``GMTPU_HOST_FP`` overrides (tests)."""
+    global _HOST_FP
+    env = os.environ.get("GMTPU_HOST_FP")
+    if env is not None:
+        return env
+    if _HOST_FP is not None:
+        return _HOST_FP
+    fp = "local"
+    try:
+        import jax
+        import jax.numpy as jnp
+        d = jax.devices()[0]
+        if d.platform == "tpu":
+            ident = None
+            for attr in ("serial_number", "slice_index"):
+                v = getattr(d, attr, None)
+                if v not in (None, "", ()):
+                    ident = f"{attr}={v}"
+                    break
+            if ident is None:
+                lats = []
+                for i in range(5):
+                    t0 = time.perf_counter()
+                    float(jnp.float32(i) + 1.0)  # distinct dispatch + fetch
+                    lats.append(time.perf_counter() - t0)
+                med = sorted(lats)[len(lats) // 2]
+                ident = f"rtt2^{int(math.log2(max(med, 1e-5)))}"
+            fp = ident
+    except Exception:
+        fp = "nodev"
+    _HOST_FP = fp
+    return fp
+
+
 def host_tag() -> str:
-    """Identifies the (dispatch host, chip kind) pair the measurement
-    is valid for. The host dominates the fused-vs-XLA margin for these
-    dispatch-bound models (BASELINE.md cross-session table)."""
+    """Identifies the (dispatch host, chip kind, remote host) triple
+    the measurement is valid for. The dispatch path dominates the
+    fused-vs-XLA margin for these dispatch-bound models (BASELINE.md
+    cross-session table)."""
     import platform
 
     import jax
@@ -58,14 +126,21 @@ def host_tag() -> str:
         kind = jax.devices()[0].device_kind.replace(" ", "_")
     except Exception:
         kind = "unknown"
-    return f"{platform.node()}|{kind}"
+    return f"{platform.node()}|{kind}|{_remote_fingerprint()}"
 
 
 def policy_key(cfg) -> str:
+    # every config field that changes a kernel SHAPE must appear here,
+    # or a cached verdict silently covers shapes it never measured:
+    # began_ae_hidden sets the BEGAN critic width, info_cat/cont_dim
+    # set InfoGAN's z-in/Q-out widths (round-3 ADVICE). gp_lambda is
+    # deliberately absent: penalty-path PRESENCE is keyed by `variant`
+    # and the lambda value is a traced constant, not a shape.
     return "|".join(str(v) for v in (
         cfg.variant, cfg.batch_size, cfg.hidden_dim, cfg.z_dim,
         cfg.d_steps, cfg.optimizer, cfg.dtype, cfg.prng_impl,
-        cfg.scan_steps, cfg.ema_decay > 0))
+        cfg.scan_steps, cfg.ema_decay > 0,
+        cfg.began_ae_hidden, cfg.info_cat_dim, cfg.info_cont_dim))
 
 
 def _load_cache() -> dict:
@@ -78,22 +153,30 @@ def _load_cache() -> dict:
 
 def _store(key: str, entry: dict) -> None:
     path = _cache_path()
-    cache = _load_cache()
-    cache[key] = entry
     try:
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = f"{path}.tmp.{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump(cache, f, indent=1, sort_keys=True)
-        os.replace(tmp, path)
+        # Concurrent chip-queue jobs measuring DIFFERENT configs race
+        # on the shared file; an flock around load+replace makes the
+        # read-modify-write atomic so neither job's entry is dropped
+        # (round-3 ADVICE — losses were benign but re-measurement is
+        # expensive on this hardware).
+        import fcntl
+        with open(f"{path}.lock", "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            cache = _load_cache()
+            cache[key] = entry
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(cache, f, indent=1, sort_keys=True)
+            os.replace(tmp, path)
     except OSError:
         pass  # cache is best-effort; the verdict still applies in-process
 
 
 def _measure_pair(spec, cfg) -> dict:
     """Times both arms at the exact training shapes on synthetic rows.
-    Returns {"fused": steps/s, "xla": steps/s}. Separated out so tests
-    can fake a slow kernel."""
+    Returns {"fused": steps/s, "xla": steps/s, "ab_steps": N}.
+    Separated out so tests can fake a slow kernel."""
     import jax
     import jax.numpy as jnp
 
@@ -102,7 +185,13 @@ def _measure_pair(spec, cfg) -> dict:
     )
     from generative_models_tpu.train import step as step_lib
 
-    steps = _AB_STEPS
+    steps = int(os.environ.get("GMTPU_FUSED_AB_STEPS", _AB_STEPS_DEFAULT))
+    # First build on a (host, config) pair: make the multi-minute-
+    # looking constructor pause attributable in job logs (round-3
+    # ADVICE — on the flaky tunnel this reads as a hang otherwise).
+    print(f"[gmtpu] measuring fused-step A/B for {cfg.variant} "
+          f"({steps} steps x {_AB_REPS} reps/arm; first build on this "
+          f"host at these shapes)...", file=sys.stderr, flush=True)
     nb = step_lib.batches_per_step(spec, cfg)
     rows_per_step = nb * cfg.batch_size
     # a few steps per "epoch" keeps the permutation stack tiny while
@@ -142,13 +231,14 @@ def _measure_pair(spec, cfg) -> dict:
         spec, cfg, steps_per_epoch)))
     fused = time_arm(jax.jit(build_fused_many_steps(
         spec, cfg, steps_per_epoch)))
-    return {"fused": fused, "xla": xla}
+    return {"fused": fused, "xla": xla, "ab_steps": steps}
 
 
 def resolve_auto(spec, cfg) -> bool:
     """The measured verdict for fused_step="auto" on a live TPU.
-    Consults the per-host cache, measures once on miss, falls back to
-    the static round-2 list when measurement is off or fails."""
+    Consults the per-host cache (fingerprinted + TTL'd), measures once
+    on miss, falls back to the static round-2 list when measurement is
+    off or fails."""
     from generative_models_tpu.ops.pallas_train import FUSED_AUTO_WINNERS
 
     static = cfg.variant in FUSED_AUTO_WINNERS
@@ -156,23 +246,30 @@ def resolve_auto(spec, cfg) -> bool:
         return static
     key = f"{host_tag()}::{policy_key(cfg)}"
     cached = _load_cache().get(key)
+    ttl = float(os.environ.get(_TTL_ENV, _TTL_DEFAULT))
     if cached is not None:
-        return bool(cached["use_fused"])
+        # pre-TTL entries carry no timestamp -> treated as expired
+        if time.time() - cached.get("measured_at", 0.0) < ttl:
+            return bool(cached["use_fused"])
     try:
         rates = _measure_pair(spec, cfg)
-    except Exception:
+    except Exception as e:
         # Measurement failures are often TRANSIENT (tunnel drop mid-A/B,
         # co-tenant OOM) — do NOT cache the verdict, or one glitch pins
         # this host to the XLA step forever (round-3 review). Fall back
         # to the round-2 static list, as the module docstring promises;
-        # a healthy later build re-measures.
-        from generative_models_tpu.ops.pallas_train import (
-            FUSED_AUTO_WINNERS,
-        )
-        return cfg.variant in FUSED_AUTO_WINNERS
+        # a healthy later build re-measures. Say so in the job log: a
+        # silent fallback would also mask a REAL fused-path regression
+        # indefinitely on auto configs (round-3 ADVICE).
+        print(f"[gmtpu] fused-step A/B measurement failed "
+              f"({type(e).__name__}: {e}); falling back to the static "
+              f"auto list for {cfg.variant} (verdict NOT cached)",
+              file=sys.stderr, flush=True)
+        return static
     use_fused = rates["fused"] >= _WIN_MARGIN * rates["xla"]
     _store(key, {"use_fused": use_fused,
                  "fused_steps_per_sec": round(rates["fused"], 1),
                  "xla_steps_per_sec": round(rates["xla"], 1),
-                 "ab_steps": _AB_STEPS})
+                 "ab_steps": rates.get("ab_steps"),
+                 "measured_at": time.time()})
     return use_fused
