@@ -136,6 +136,14 @@ class Config:
     ddpm_timesteps: int = 1000     # T (Ho 2020 §4)
     ddpm_beta_start: float = 1e-4  # linear beta schedule (Ho 2020 §4)
     ddpm_beta_end: float = 0.02
+    # Noise schedule: "linear" (Ho 2020 §4, beta_start..beta_end) or
+    # "cosine" (Nichol & Dhariwal 2021 "Improved DDPM" §3.2:
+    # abar(t) = f(t)/f(0), f(t) = cos^2((t/T + s)/(1 + s) * pi/2),
+    # s = 0.008, per-step beta clipped at 0.999; ignores
+    # ddpm_beta_start/end). Cosine spends more of the chain at
+    # moderate noise levels — one axis of the FID ablation
+    # (benchmarks/ddpm_fid_ablation.py).
+    ddpm_schedule: str = "linear"
     ddpm_time_dim: int = 128       # sinusoidal timestep-embedding width
     # Sampler subsequence length S (Song et al. 2021 "DDIM" §4.2):
     # 0 = the full T-step ancestral chain; 0 < S < T strides an evenly
@@ -296,6 +304,10 @@ class Config:
         if self.sn_mode not in ("amortized", "fresh"):
             raise ValueError(
                 f"sn_mode must be amortized|fresh, got {self.sn_mode!r}")
+        if self.ddpm_schedule not in ("linear", "cosine"):
+            raise ValueError(
+                f"ddpm_schedule must be 'linear' or 'cosine', got "
+                f"{self.ddpm_schedule!r}")
         if self.ddpm_sample_steps < 0 or (
                 self.ddpm_sample_steps > self.ddpm_timesteps):
             raise ValueError(

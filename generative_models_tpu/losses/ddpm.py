@@ -44,9 +44,27 @@ from generative_models_tpu.models import ddpm_net
 
 
 def alphas_bar(cfg):
-    """abar_t = prod_{s<=t} (1 - beta_s), t = 0..T-1. [T] f32."""
+    """abar_t = prod_{s<=t} alpha_s, t = 0..T-1. [T] f32.
+
+    "linear": alpha_s = 1 - beta_s with beta linearly spaced
+    beta_start..beta_end (Ho 2020 §4). "cosine": abar follows
+    f(t)/f(0) with f(t) = cos^2((t/T + s)/(1+s) * pi/2), s = 0.008,
+    realized through per-step alphas clipped so beta <= 0.999 — the
+    clip keeps the chain's final steps from collapsing abar to exactly
+    0 (Nichol & Dhariwal 2021 §3.2). The same [T] vector drives both
+    the training-noise gather and the sampler's strided schedule, so a
+    schedule change is one config knob."""
+    t_count = cfg.ddpm_timesteps
+    if cfg.ddpm_schedule == "cosine":
+        s = 0.008
+        grid = jnp.arange(t_count + 1, dtype=jnp.float32) / t_count
+        f = jnp.cos((grid + s) / (1.0 + s) * (jnp.pi / 2.0)) ** 2
+        abar_grid = f / f[0]
+        alphas = jnp.clip(abar_grid[1:] / abar_grid[:-1], 1.0 - 0.999,
+                          1.0)
+        return jnp.cumprod(alphas)
     betas = jnp.linspace(cfg.ddpm_beta_start, cfg.ddpm_beta_end,
-                         cfg.ddpm_timesteps, dtype=jnp.float32)
+                         t_count, dtype=jnp.float32)
     return jnp.cumprod(1.0 - betas)
 
 

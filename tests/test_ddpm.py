@@ -31,6 +31,35 @@ def test_schedule_properties():
     np.testing.assert_allclose(ab[0], 1.0 - cfg.ddpm_beta_start, rtol=1e-6)
 
 
+def test_cosine_schedule_properties():
+    """Nichol & Dhariwal 2021 §3.2: abar follows f(t)/f(0) with
+    f(t) = cos^2((t/T + s)/(1+s) * pi/2), s = 0.008, betas clipped at
+    0.999. Pins the formula, the clip, and the monotonicity the sampler
+    relies on."""
+    t_count = 1000
+    cfg = tiny_cfg("ddpm", ddpm_timesteps=t_count,
+                   ddpm_schedule="cosine")
+    ab = np.asarray(alphas_bar(cfg))
+    assert ab.shape == (t_count,)
+    assert np.all(np.diff(ab) < 0), "abar must be strictly decreasing"
+    assert 0.0 < ab[-1] < ab[0] < 1.0
+    # closed form where the beta clip is inactive (everywhere early)
+    s = 0.008
+    f = lambda u: np.cos((u + s) / (1 + s) * np.pi / 2) ** 2  # noqa: E731
+    grid = (np.arange(t_count) + 1.0) / t_count
+    np.testing.assert_allclose(ab[:800], f(grid[:800]) / f(0.0),
+                               rtol=1e-4)
+    # per-step beta never exceeds the 0.999 clip
+    alphas = ab / np.concatenate([[1.0], ab[:-1]])
+    assert np.all(1.0 - alphas <= 0.999 + 1e-6)
+    # cosine degrades abar more slowly early on than Ho's linear
+    # schedule at the same T (the paper's Fig. 5 point)
+    ab_lin = np.asarray(alphas_bar(tiny_cfg("ddpm",
+                                            ddpm_timesteps=t_count)))
+    mid = t_count // 2
+    assert ab[mid] > ab_lin[mid]
+
+
 def test_full_sequence_eta1_matches_ddpm_posterior_variance():
     """On the FULL subsequence with eta=1, the DDIM sigma_t^2 must equal
     the ancestral DDPM posterior variance beta_t (1-abar_{t-1})/(1-abar_t)
@@ -207,7 +236,8 @@ def test_config_validation():
         tiny_cfg("ddpm", ddpm_cond=True, ddpm_label_drop=1.5)
 
 
-def test_reverse_chain_analytic_gaussian():
+@pytest.mark.parametrize("schedule", ["linear", "cosine"])
+def test_reverse_chain_analytic_gaussian(schedule):
     """End-to-end validation of the reverse chain against the one case
     with a CLOSED-FORM optimal predictor: for x0 ~ N(0, s^2 I),
     eps*(x_t, t) = sqrt(1-abar_t) x_t / (abar_t s^2 + 1-abar_t).
@@ -216,14 +246,17 @@ def test_reverse_chain_analytic_gaussian():
     Gaussian posterior mean — checked symbolically), while the fixed
     sigma_t^2 = beta_t (1-abar_{t-1})/(1-abar_t) slightly UNDERSTATES
     the true conditional variance for s < 1, so a few percent of std
-    shrink is the algorithm's known property, not a bug."""
+    shrink is the algorithm's known property, not a bug. Parametrized
+    over both noise schedules: the validation is schedule-independent
+    (the optimal predictor is a function of abar alone), so it pins the
+    cosine path end-to-end as well."""
     from unittest import mock
 
     from generative_models_tpu.losses import ddpm as ddpm_mod
 
     s = 0.25
     cfg = tiny_cfg("ddpm", ddpm_timesteps=200, ddpm_sample_steps=0,
-                   ddpm_beta_end=0.1)
+                   ddpm_beta_end=0.1, ddpm_schedule=schedule)
     ab = alphas_bar(cfg)
     assert float(ab[-1]) < 1e-4  # the chain reaches ~pure noise
 
