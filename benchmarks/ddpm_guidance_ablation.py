@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--arch", default="mlp", choices=("mlp", "conv"))
     ap.add_argument("--scales", nargs="*", type=float,
                     default=[0.0, 1.0, 2.0, 4.0])
+    ap.add_argument("--schedule", default="linear",
+                    choices=("linear", "cosine"),
+                    help="noise schedule for the one trained model "
+                         "(rerun at the ddpm_fid_ablation winner)")
     args = ap.parse_args()
 
     from __graft_entry__ import ensure_live_backend
@@ -52,24 +56,34 @@ def main():
     print(json.dumps({"classifier_test_acc": round(acc, 4)}), flush=True)
 
     cfg = variant_config("ddpm", arch=args.arch, ddpm_cond=True,
-                         scan_steps=args.scan, seed=0)
+                         scan_steps=args.scan, seed=0,
+                         ddpm_schedule=args.schedule)
     t = Trainer(config=cfg, data=raw)
     t.train(steps=args.steps)
     params = t.state["ema"]
 
     real_ref = flat["x_test"][:args.n]
+    # sample() conditions column-cyclically: y_i = i mod num_classes.
+    # label_match = classifier top-1 agreement with that conditioning
+    # label — the diagnostic that separates "guidance conditions
+    # correctly but drags samples off-manifold (FID up, match up)"
+    # from a wiring bug (match flat/down while FID rises).
+    import numpy as np
+    y_cond = np.arange(args.n) % cfg.num_classes
     rows = []
     for w in args.scales:
         scfg = cfg.replace(ddpm_guidance=w)
         samples = ddpm_sample(params, jax.random.PRNGKey(7), args.n, scfg)
         scores = score_samples(clf, samples)
         scores["fid"] = fid_score(clf, real_ref, samples)
+        scores["label_match"] = classifier_accuracy(clf, samples, y_cond)
         row = {"guidance": w,
                **{k: round(float(v), 4) for k, v in scores.items()}}
         rows.append(row)
         print(json.dumps(row), flush=True)
 
     out = {"config": {"arch": args.arch, "steps": args.steps,
+                      "schedule": args.schedule,
                       "n": args.n, "backend_alive": alive},
            "rows": rows}
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
