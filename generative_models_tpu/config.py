@@ -398,6 +398,14 @@ CONV_VARIANT_OVERRIDES: Dict[str, Dict[str, Any]] = {
     "began": {"spectral_projection": True, "sn_target": 2.0},
     "ragan": {"spectral_projection": True, "sn_target": 1.0},
     "lsgan": {"spectral_projection": True, "sn_target": 1.0},
+    # Measured rescue (round 4, benchmarks/ddpm_fid_ablation.json): on
+    # the conv UNet the cosine schedule dominates Ho's linear default
+    # at every (budget, sample_steps) cell and FIXES the full-chain
+    # ancestral sampler's failure (linear full-chain FID 86.7 at 20k /
+    # 24.4 at 60k vs cosine 0.63 at 60k — the round-3 "FID 78.5" was
+    # this, not underfitting). MLP keeps the paper default (linear);
+    # its quality ceiling is the stack bottleneck, not the schedule.
+    "ddpm": {"ddpm_schedule": "cosine"},
 }
 
 

@@ -13,9 +13,14 @@ from generative_models_tpu.utils.export import (
 from tests.conftest import tiny_cfg
 
 
-@pytest.mark.parametrize("variant", ["nsgan", "vae", "cgan"])
+@pytest.mark.parametrize("variant", ["nsgan", "vae", "cgan", "ddpm"])
 def test_export_roundtrip(variant, tiny_data, tmp_path):
-    t = Trainer(config=tiny_cfg(variant), data=tiny_data)
+    """ddpm rides too: its exported artifact bakes the whole reverse
+    lax.scan chain (the serving path BASELINE.md's images/s-vs-S curve
+    measures), not just one net eval."""
+    extra = ({"ddpm_timesteps": 25, "ddpm_beta_end": 0.3}
+             if variant == "ddpm" else {})
+    t = Trainer(config=tiny_cfg(variant, **extra), data=tiny_data)
     t.train(steps=4)
     params = t.generator_params
     path = str(tmp_path / "sampler.shlo")
