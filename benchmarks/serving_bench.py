@@ -75,8 +75,8 @@ def main():
     # batches fused per dispatch; drop for expensive samplers (a DDPM
     # image costs sample_steps net evals, not one)
     ap.add_argument("--reps", type=int, default=64)
-    # ddpm only: sweep the reverse-chain length (the inference-cost
-    # dial); each entry is one row
+    # ddpm/flow only: sweep the reverse-chain / ODE length (the
+    # inference-cost dial); each entry is one row
     ap.add_argument("--sample-steps", nargs="*", type=int, default=[None])
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -88,7 +88,9 @@ def main():
     for arch in args.arch:
         for n in args.batches:
             for ss in args.sample_steps:
-                over = {} if ss is None else {"ddpm_sample_steps": ss}
+                ss_field = ("flow_sample_steps" if args.variant == "flow"
+                            else "ddpm_sample_steps")
+                over = {} if ss is None else {ss_field: ss}
                 ips = bench_sampler(args.variant, arch, n,
                                     reps=args.reps, **over)
                 row = {"variant": args.variant, "arch": arch, "batch": n,

@@ -197,10 +197,12 @@ def make_replica(variant: str, cfg, x_train: np.ndarray,
             opt.zero_grad(); loss.backward(); opt.step()
         return step
 
-    if variant == "ddpm":
-        # eager replica of losses/ddpm.py + models/ddpm_net.py (mlp):
-        # sinusoidal t-embedding -> 2-layer time MLP; two SiLU hidden
-        # layers with time bias; zero-init out + input->output skip
+    if variant in ("ddpm", "flow"):
+        # eager replica of losses/ddpm.py|flow.py + models/ddpm_net.py
+        # (mlp): sinusoidal t-embedding -> 2-layer time MLP; two SiLU
+        # hidden layers with time bias; zero-init out + input->output
+        # skip. flow differs only in the bridge (linear interpolant,
+        # continuous t) and the regression target (x1 - x0).
         TD, T = cfg.ddpm_time_dim, cfg.ddpm_timesteps
         betas = torch.linspace(cfg.ddpm_beta_start, cfg.ddpm_beta_end, T)
         abar = torch.cumprod(1.0 - betas, 0)
@@ -217,6 +219,25 @@ def make_replica(variant: str, cfg, x_train: np.ndarray,
         mods = [t0, t1, lin_in, lin_mid, tb1, tb2, out_l, skip]
         opt = _adam([p for m in mods for p in m.parameters()], cfg.g_lr)
 
+        def net(xt, temb_in):
+            emb = t1(silu(t0(temb_in)))
+            h = silu(lin_in(xt) + tb1(emb))
+            h = silu(lin_mid(h) + tb2(emb))
+            return out_l(h) + skip(xt)
+
+        if variant == "flow":
+            def step():
+                xb, _ = bat.next()
+                x1 = 2.0 * xb - 1.0
+                t = torch.rand(B)
+                x0 = torch.randn_like(x1)
+                xt = (1.0 - t)[:, None] * x0 + t[:, None] * x1
+                args = (t * 1000.0)[:, None] * freqs[None, :]
+                temb = torch.cat([args.sin(), args.cos()], -1)
+                loss = ((net(xt, temb) - (x1 - x0)) ** 2).mean()
+                opt.zero_grad(); loss.backward(); opt.step()
+            return step
+
         def step():
             xb, _ = bat.next()
             x0 = 2.0 * xb - 1.0
@@ -225,11 +246,8 @@ def make_replica(variant: str, cfg, x_train: np.ndarray,
             a = abar[t][:, None]
             xt = a.sqrt() * x0 + (1 - a).sqrt() * eps
             args = t[:, None].float() * freqs[None, :]
-            emb = t1(silu(t0(torch.cat([args.sin(), args.cos()], -1))))
-            h = silu(lin_in(xt) + tb1(emb))
-            h = silu(lin_mid(h) + tb2(emb))
-            pred = out_l(h) + skip(xt)
-            loss = ((pred - eps) ** 2).mean()
+            loss = ((net(xt, torch.cat([args.sin(), args.cos()], -1))
+                     - eps) ** 2).mean()
             opt.zero_grad(); loss.backward(); opt.step()
         return step
 

@@ -163,6 +163,15 @@ class Config:
     ddpm_cond: bool = False
     ddpm_label_drop: float = 0.1
     ddpm_guidance: float = 0.0
+    # --- flow matching (losses/flow.py; the ddpm_cond/ddpm_label_drop/
+    # ddpm_guidance knobs above are SHARED with this family — the
+    # conditioning mechanism is identical at the net level) ------------
+    # ODE integration steps from noise (t=0) to data (t=1); each step
+    # costs one net eval (two for heun) — the serving cost knob.
+    flow_sample_steps: int = 50
+    # "euler" (Liu 2022 rectified flow) or "heun" (midpoint
+    # predictor-corrector, 2 evals/step, better at small S).
+    flow_solver: str = "euler"
 
     # --- numerics / performance ----------------------------------------
     # Activation compute dtype; params stay f32. "auto" (the default)
@@ -323,6 +332,14 @@ class Config:
         if self.ddpm_guidance < 0.0:
             raise ValueError(
                 f"ddpm_guidance must be >= 0, got {self.ddpm_guidance}")
+        if self.flow_sample_steps < 1:
+            raise ValueError(
+                f"flow_sample_steps must be >= 1, got "
+                f"{self.flow_sample_steps}")
+        if self.flow_solver not in ("euler", "heun"):
+            raise ValueError(
+                f"flow_solver must be 'euler' or 'heun', got "
+                f"{self.flow_solver!r}")
         if self.ddpm_guidance > 0.0 and not self.ddpm_cond:
             raise ValueError(
                 "ddpm_guidance requires ddpm_cond=True (guidance mixes "
@@ -375,6 +392,9 @@ VARIANT_OVERRIDES: Dict[str, Dict[str, Any]] = {
     # zoo's ~6-20k-step budgets the paper rate would still be dominated
     # by the init).
     "ddpm": {"d_steps": 0, "ema_decay": 0.999},
+    # Flow matching (beyond-reference, round 4): single model like the
+    # VAE/DDPM families; EMA sampling per flow-matching practice.
+    "flow": {"d_steps": 0, "ema_decay": 0.999},
 }
 
 VARIANTS: Tuple[str, ...] = tuple(VARIANT_OVERRIDES)

@@ -28,6 +28,7 @@ _SPECS: Dict[str, Tuple[str, str]] = {
     "birvae": ("generative_models_tpu.losses.birvae", "BIRVAE"),
     # Beyond the reference zoo (SURVEY.md §3.2 has no diffusion row):
     "ddpm": ("generative_models_tpu.losses.ddpm", "DDPM"),
+    "flow": ("generative_models_tpu.losses.flow", "FLOW"),
 }
 
 

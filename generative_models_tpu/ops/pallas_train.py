@@ -57,7 +57,8 @@ extra VMEM-resident state plane; no spectral projection. The Trainer
 picks this path via ``Config.fused_step``; everything else keeps the
 general builder, refused with the reason.
 
-DDPM is a MEASURED exclusion, not an omission (round-3 VERDICT weak
+DDPM (and flow matching, which shares the same net) is a MEASURED
+exclusion, not an omission (round-3 VERDICT weak
 #4): the eps-MLP is in the kernel's shape class, but this kernel's
 entire win is keeping params + optimizer state VMEM-resident across
 the chunk, and the DDPM-MLP's full-rank input->output skip
@@ -1376,12 +1377,13 @@ def resolve_fused_step(spec, cfg, mesh=None) -> bool:
 def fused_step_supported(spec, cfg) -> Tuple[bool, str]:
     """(ok, reason). The fused chunk covers the flagship configuration
     family; anything else keeps the general builder."""
-    if cfg.variant == "ddpm":
-        return False, ("ddpm is a measured exclusion: the eps-net's "
-                       "full-rank skip puts Adam state at ~17.6 MiB "
-                       "(> the ~16 MB VMEM the chunk kernel keeps state "
-                       "resident in) — see the module docstring and "
-                       "BASELINE.md fused section")
+    if cfg.variant in ("ddpm", "flow"):
+        return False, (f"{cfg.variant} is a measured exclusion: the "
+                       "shared time-conditioned net's full-rank skip "
+                       "puts Adam state at ~17.6 MiB (> the ~16 MB "
+                       "VMEM the chunk kernel keeps state resident in) "
+                       "— see the module docstring and BASELINE.md "
+                       "fused section")
     if cfg.variant not in FUSED_VARIANTS:
         return False, f"fused_step covers {FUSED_VARIANTS} only"
     if cfg.arch != "mlp":

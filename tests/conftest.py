@@ -61,6 +61,8 @@ TINY = dict(
     ddpm_timesteps=50,
     ddpm_sample_steps=10,
     ddpm_time_dim=16,
+    # keep the flow ODE cheap in tests (full default is 50)
+    flow_sample_steps=8,
 )
 
 

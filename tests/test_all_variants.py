@@ -16,7 +16,7 @@ def test_registry_is_complete():
         "vae", "birvae", "mmgan", "nsgan", "lsgan", "wgan", "wgangp",
         "dragan", "began", "ragan", "infogan", "fgan", "fishergan", "cgan",
     }
-    beyond_reference = {"ddpm"}
+    beyond_reference = {"ddpm", "flow"}
     assert set(ALL_VARIANTS) == reference_zoo | beyond_reference
 
 

@@ -13,7 +13,8 @@ from generative_models_tpu.utils.export import (
 from tests.conftest import tiny_cfg
 
 
-@pytest.mark.parametrize("variant", ["nsgan", "vae", "cgan", "ddpm"])
+@pytest.mark.parametrize("variant", ["nsgan", "vae", "cgan", "ddpm",
+                                     "flow"])
 def test_export_roundtrip(variant, tiny_data, tmp_path):
     """ddpm rides too: its exported artifact bakes the whole reverse
     lax.scan chain (the serving path BASELINE.md's images/s-vs-S curve

@@ -211,6 +211,27 @@ def test_ddpm_shard_map_trains_and_samples(tiny_data):
     assert imgs.shape == (8, 784) and np.isfinite(imgs).all()
 
 
+def test_flow_jit_dp_matches_single_device(tiny_data):
+    """Flow matching is batch-decoupled like DDPM (per-sample t/x0
+    draws, mean loss): jit-DP over 8 devices must reproduce the
+    single-device trajectory."""
+    outs = []
+    for mesh in (None, cpu_mesh(8)):
+        cfg = tiny_cfg("flow")
+        t = Trainer(config=cfg, data=tiny_data, mesh=mesh)
+        outs.append(np.array(t.train(steps=6)["loss"]))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=2e-4, atol=1e-5)
+
+
+def test_flow_shard_map_trains_and_samples(tiny_data):
+    cfg = tiny_cfg("flow", dp_impl="shard_map")
+    t = Trainer(config=cfg, data=tiny_data, mesh=cpu_mesh(8))
+    hist = t.train(steps=6)
+    assert np.all(np.isfinite(hist["loss"]))
+    imgs = t.sample(8)
+    assert imgs.shape == (8, 784) and np.isfinite(imgs).all()
+
+
 def test_shard_map_uint8_storage_bitwise_matches_f32(tiny_data):
     """The shard_map gather's post-gather u8 decode (parallel/dp.py)
     is the same multiply as the host conversion — storage dtype must

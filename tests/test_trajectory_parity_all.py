@@ -805,3 +805,88 @@ def test_ddpm_50_step_trajectory_matches_torch():
         state, m_ = train_step(state, batch)
         j_l.append(float(m_["loss"]))
     _assert_curves(j_l, t_l)
+
+
+def test_flow_50_step_trajectory_matches_torch():
+    """Flow matching (round 4, 16th variant): same weights, same
+    replayed (t, x0) draws, same Adam — the rectified-flow loss curve
+    matches an independent torch replica step-for-step. The net is the
+    shared ddpm_net MLP; out/skip get RANDOM weights (overriding the
+    zero-init policy) so every layer trains from step 0."""
+    TD = 16
+    rng = np.random.default_rng(23)
+    time_ws = [_np_linear(rng, TD, TD), _np_linear(rng, TD, TD)]
+    in_w = _np_linear(rng, XD, H)
+    t1_w = _np_linear(rng, TD, H)
+    mid_w = _np_linear(rng, H, H)
+    t2_w = _np_linear(rng, TD, H)
+    out_w = _np_linear(rng, H, XD)
+    skip_w = _np_linear(rng, XD, XD)
+    xs = rng.random((STEPS, B, XD), dtype=np.float32)
+
+    cfg = variant_config("flow", batch_size=B, hidden_dim=H,
+                         ddpm_time_dim=TD)
+    assert cfg.d_steps == 0 and cfg.adam_b1 == 0.9
+    spec = get_variant("flow")
+    state = step_lib.init_state(spec, cfg, jax.random.PRNGKey(0))
+    state["params"] = {
+        "time": {"l": _jx_params(time_ws)},
+        "in": _jx_params([in_w])[0], "t1": _jx_params([t1_w])[0],
+        "mid": _jx_params([mid_w])[0], "t2": _jx_params([t2_w])[0],
+        "out": _jx_params([out_w])[0], "skip": _jx_params([skip_w])[0],
+    }
+    state["opt"] = make_tx(cfg, cfg.g_lr).init(state["params"])
+    if "ema" in state:
+        state["ema"] = state["params"]
+
+    # replay the single-model step's rng chain: split per step, then
+    # the loss's 3-way split -> (t uniform, x0 normal, label-drop)
+    ts = np.zeros((STEPS, B), np.float32)
+    x0s = np.zeros((STEPS, B, XD), np.float32)
+    r = state["rng"]
+    for k in range(STEPS):
+        r, key = jax.random.split(r)
+        tk, xk, _ = jax.random.split(key, 3)
+        ts[k] = np.asarray(jax.random.uniform(tk, (B,)))
+        x0s[k] = np.asarray(jax.random.normal(xk, (B, XD)))
+
+    # torch replica (paper formulas: Liu 2022 Eq. 1 straight bridge)
+    t0 = torch.nn.Linear(TD, TD); t1 = torch.nn.Linear(TD, TD)
+    lin_in = torch.nn.Linear(XD, H); lin_t1 = torch.nn.Linear(TD, H)
+    lin_mid = torch.nn.Linear(H, H); lin_t2 = torch.nn.Linear(TD, H)
+    lin_out = torch.nn.Linear(H, XD); lin_skip = torch.nn.Linear(XD, XD)
+    _copy_into([t0, t1], time_ws)
+    _copy_into([lin_in, lin_t1, lin_mid, lin_t2, lin_out, lin_skip],
+               [in_w, t1_w, mid_w, t2_w, out_w, skip_w])
+    mods = [t0, t1, lin_in, lin_t1, lin_mid, lin_t2, lin_out, lin_skip]
+    opt = _adam_like(cfg, [p for m in mods for p in m.parameters()],
+                     cfg.g_lr)
+    silu = torch.nn.SiLU()
+    half = TD // 2
+    freqs = np.exp(-np.log(1e4) * np.arange(half)
+                   / max(half - 1, 1)).astype(np.float32)
+
+    t_l = []
+    for k in range(STEPS):
+        x1 = 2.0 * torch.from_numpy(xs[k]) - 1.0
+        t = torch.from_numpy(ts[k])
+        x0 = torch.from_numpy(x0s[k])
+        xt = (1.0 - t)[:, None] * x0 + t[:, None] * x1
+        args = torch.from_numpy(
+            (ts[k] * 1000.0)[:, None] * freqs[None, :])
+        emb = t1(silu(t0(torch.cat([args.sin(), args.cos()], -1))))
+        h = silu(lin_in(xt) + lin_t1(emb))
+        h = silu(lin_mid(h) + lin_t2(emb))
+        pred = lin_out(h) + lin_skip(xt)
+        loss = ((pred - (x1 - x0)) ** 2).mean()
+        opt.zero_grad(); loss.backward(); opt.step()
+        t_l.append(loss.item())
+
+    train_step = step_lib.build_step(spec, cfg)
+    j_l = []
+    for k in range(STEPS):
+        batch = {"image": jnp.asarray(xs[k][None]),
+                 "label": jnp.zeros((1, B), jnp.int32)}
+        state, m_ = train_step(state, batch)
+        j_l.append(float(m_["loss"]))
+    _assert_curves(j_l, t_l)
