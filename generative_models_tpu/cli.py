@@ -40,6 +40,26 @@ def build_parser() -> argparse.ArgumentParser:
             p.add_argument(arg, dest=f.name, default=None, type=typ)
     p.add_argument("--ckpt", default=None, help="checkpoint path "
                    "(save at end; with --resume, restore first)")
+    p.add_argument("--reflow-from", default=None, metavar="CKPT",
+                   help="flow only: reflow / 2-rectified flow (Liu "
+                        "2022 §3.2). Load a trained flow checkpoint as "
+                        "the TEACHER, generate (noise, sample) "
+                        "couplings from its ODE, and train THIS run on "
+                        "them (sets --flow-reflow; student starts at "
+                        "the teacher weights unless "
+                        "--reflow-fresh-init). Straightens the ODE for "
+                        "1-2 step sampling (train/reflow.py)")
+    p.add_argument("--reflow-pairs", type=int, default=60000,
+                   help="teacher couplings to generate for the train "
+                        "split (plus 2048 held-out test pairs)")
+    p.add_argument("--reflow-fresh-init", action="store_true",
+                   help="random-init the student instead of starting "
+                        "from the teacher weights")
+    p.add_argument("--reflow-gen-steps", type=int, default=50,
+                   help="teacher ODE steps when generating couplings")
+    p.add_argument("--reflow-gen-solver", default="heun",
+                   choices=("euler", "heun"),
+                   help="teacher ODE solver when generating couplings")
     p.add_argument("--echo-every", type=int, default=100)
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (the zoo's sanitizer: "
@@ -91,7 +111,30 @@ def main(argv=None) -> int:
 
     from generative_models_tpu.train.trainer import Trainer
     from generative_models_tpu.utils.checkpoint import exists as ckpt_exists
-    t = Trainer(config=cfg, mesh=mesh)
+    data = None
+    teacher = None
+    if args.reflow_from:
+        if args.sample_only:
+            print("--sample-only samples a trained model: pass the "
+                  "student's --ckpt, not --reflow-from", file=sys.stderr)
+            return 2
+        from generative_models_tpu.train.reflow import (
+            build_reflow_data,
+            load_teacher_params,
+        )
+        cfg = cfg.replace(flow_reflow=True)  # validates variant == flow
+        teacher = load_teacher_params(args.reflow_from, cfg)
+        data = build_reflow_data(
+            teacher, cfg, n_train=args.reflow_pairs,
+            gen_steps=args.reflow_gen_steps,
+            gen_solver=args.reflow_gen_solver)
+        print(f"reflow: {args.reflow_pairs} teacher couplings from "
+              f"{args.reflow_from} ({args.reflow_gen_solver} "
+              f"S={args.reflow_gen_steps})")
+    t = Trainer(config=cfg, data=data, mesh=mesh)
+    if teacher is not None and not args.reflow_fresh_init:
+        from generative_models_tpu.train.reflow import init_student
+        init_student(t, teacher)
     if args.sample_only:
         if not args.ckpt or not ckpt_exists(args.ckpt, cfg.ckpt_backend):
             print("--sample-only needs an existing --ckpt", file=sys.stderr)

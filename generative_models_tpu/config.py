@@ -172,6 +172,15 @@ class Config:
     # "euler" (Liu 2022 rectified flow) or "heun" (midpoint
     # predictor-corrector, 2 evals/step, better at small S).
     flow_solver: str = "euler"
+    # Reflow / 2-rectified flow (Liu 2022 §3.2): train on the TEACHER's
+    # own (noise, sample) couplings instead of independent (x0, data)
+    # pairs, straightening the ODE so 1-2 step sampling works. When
+    # True, the loss reads the pair from the batch: each data row is
+    # [x1_hat in [0,1] | x0 raw] of width 2*image_dim
+    # (train/reflow.py builds such datasets from a teacher checkpoint;
+    # CLI: --reflow-from CKPT). Unconditional only — the coupling is
+    # drawn from the teacher's prior, not per label.
+    flow_reflow: bool = False
 
     # --- numerics / performance ----------------------------------------
     # Activation compute dtype; params stay f32. "auto" (the default)
@@ -344,6 +353,19 @@ class Config:
             raise ValueError(
                 "ddpm_guidance requires ddpm_cond=True (guidance mixes "
                 "the conditional and null-token predictions)")
+        if self.flow_reflow:
+            if self.variant != "flow":
+                raise ValueError(
+                    "flow_reflow applies to the flow variant only, got "
+                    f"variant={self.variant!r}")
+            if self.ddpm_cond:
+                raise ValueError(
+                    "flow_reflow is unconditional: the teacher coupling "
+                    "is drawn from the prior, not per label")
+            if self.data_storage == "uint8":
+                raise ValueError(
+                    "flow_reflow stores raw-float noise columns; "
+                    "data_storage='uint8' cannot represent them")
         if self.variant == "fgan":
             # fail fast with a clean message instead of a mid-trace error
             from generative_models_tpu.losses.fgan import get_divergence

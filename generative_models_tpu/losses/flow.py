@@ -45,6 +45,13 @@ config.py.
 
 EMA: `ema_decay=0.999` variant default (as for DDPM; flow-matching
 practice samples from EMA weights too).
+
+Reflow / 2-rectified flow (Liu 2022 §3.2): with `cfg.flow_reflow` the
+SAME objective trains on teacher couplings [x1_hat | x0] read from the
+batch (rows of width 2*image_dim, built by `generate_pairs` /
+train/reflow.py) instead of independent (noise, data) pairs —
+straightening the ODE so 1-2 step sampling works (the TPU serving
+capstone; measured in benchmarks/reflow_ablation.py).
 """
 
 from __future__ import annotations
@@ -66,11 +73,22 @@ def init_params(rng, cfg):
 
 
 def loss(params, batch, rng, cfg):
-    x1 = 2.0 * batch["image"] - 1.0          # [0,1] -> [-1,1]
+    # the rng split layout is shared by both branches (and replicated
+    # by tests/oracles): (t draw, x0 draw, label-drop)
     t_key, x0_key, d_key = jax.random.split(rng, 3)
+    if cfg.flow_reflow:
+        # 2-rectified flow (Liu 2022 §3.2): the batch rows are TEACHER
+        # couplings [x1_hat in [0,1] | x0 raw], width 2*image_dim
+        # (train/reflow.py) — same objective, but the bridge endpoints
+        # are paired by the teacher's own ODE instead of independent.
+        d = cfg.image_dim
+        x1 = 2.0 * batch["image"][:, :d] - 1.0
+        x0 = batch["image"][:, d:]
+    else:
+        x1 = 2.0 * batch["image"] - 1.0      # [0,1] -> [-1,1]
+        x0 = jax.random.normal(x0_key, x1.shape, jnp.float32)
     b = x1.shape[0]
     t = jax.random.uniform(t_key, (b,))
-    x0 = jax.random.normal(x0_key, x1.shape, jnp.float32)
     xt = (1.0 - t)[:, None] * x0 + t[:, None] * x1
     target = x1 - x0
     y = None
@@ -98,14 +116,13 @@ def _velocity(params, x, t_scalar, n, cfg, y, y2):
         params, x, jnp.full((n,), t_scalar * T_EMB_SCALE), cfg, y)
 
 
-def _sample_with_labels(params, rng, n, cfg, y):
+def _integrate(params, x0, cfg, y=None, y2=None):
+    """ODE endpoint: integrate dx/dt = v_theta from the given x0 at
+    t=0 to t=1 over flow_sample_steps uniform steps (one lax.scan;
+    solver per cfg.flow_solver). Returns x(1) in model scale [-1,1]."""
+    n = x0.shape[0]
     s_count = cfg.flow_sample_steps
     dt = 1.0 / s_count
-    x = jax.random.normal(rng, (n, cfg.image_dim), jnp.float32)
-    y2 = None
-    if cfg.ddpm_cond and cfg.ddpm_guidance > 0.0 and y is not None:
-        y2 = jnp.concatenate(
-            [y, jnp.full((n,), cfg.num_classes, jnp.int32)])
     ts = jnp.arange(s_count, dtype=jnp.float32) * dt
 
     def body(x, t):
@@ -118,7 +135,17 @@ def _sample_with_labels(params, rng, n, cfg, y):
             x = x + dt * v1
         return x, None
 
-    x, _ = jax.lax.scan(body, x, ts)
+    x, _ = jax.lax.scan(body, x0, ts)
+    return x
+
+
+def _sample_with_labels(params, rng, n, cfg, y):
+    x0 = jax.random.normal(rng, (n, cfg.image_dim), jnp.float32)
+    y2 = None
+    if cfg.ddpm_cond and cfg.ddpm_guidance > 0.0 and y is not None:
+        y2 = jnp.concatenate(
+            [y, jnp.full((n,), cfg.num_classes, jnp.int32)])
+    x = _integrate(params, x0, cfg, y, y2)
     return jnp.clip((x + 1.0) * 0.5, 0.0, 1.0)   # [-1,1] -> [0,1]
 
 
@@ -134,6 +161,34 @@ def sample_class(params, rng, n, label, cfg):
     """All-one-class conditional sampling (mirrors losses/ddpm.py)."""
     y = jnp.full((n,), label, jnp.int32)
     return _sample_with_labels(params, rng, n, cfg, y)
+
+
+def generate_pairs(params, rng, n, cfg, batch_size=2048):
+    """Teacher couplings for reflow (Liu 2022 §3.2): draw x0 from the
+    prior, integrate the teacher's ODE to x1_hat, and return rows
+    [x1_hat in [0,1] | x0 raw] of width 2*image_dim — the dataset
+    format Config.flow_reflow's loss branch consumes. Unconditional
+    (the reflow coupling is a map of the prior, not of labels).
+
+    Host loop over fixed-width chunks so one compiled integrate serves
+    any n; `jnp.clip` matches sample()'s output encoding, so a stored
+    x1_hat is exactly what the teacher would have served."""
+    d = cfg.image_dim
+    bs = min(batch_size, n)
+
+    @jax.jit
+    def one(key):
+        x0 = jax.random.normal(key, (bs, d), jnp.float32)
+        x1 = _integrate(params, x0, cfg)
+        return jnp.clip((x1 + 1.0) * 0.5, 0.0, 1.0), x0
+
+    chunks = []
+    key = rng
+    for _ in range((n + bs - 1) // bs):
+        key, sub = jax.random.split(key)
+        x1, x0 = one(sub)
+        chunks.append(jnp.concatenate([x1, x0], axis=1))
+    return jnp.concatenate(chunks, axis=0)[:n]
 
 
 FLOW = SingleModelSpec(

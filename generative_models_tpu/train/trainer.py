@@ -130,6 +130,15 @@ class Trainer:
         else:
             self.x_train = jnp.asarray(x_tr[keep])
         self.y_train = jnp.asarray(y_tr[keep])
+        if self.cfg.flow_reflow and (
+                self.x_train.shape[1] != 2 * self.cfg.image_dim):
+            # fail here, not silently mis-slice in the loss: reflow rows
+            # are teacher couplings [x1_hat | x0] (train/reflow.py)
+            raise ValueError(
+                "flow_reflow needs pair rows of width 2*image_dim="
+                f"{2 * self.cfg.image_dim}, got {self.x_train.shape[1]} "
+                "(build the dataset with train/reflow.py or "
+                "--reflow-from)")
 
         self._build()
 
