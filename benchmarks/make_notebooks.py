@@ -144,6 +144,36 @@ heun = flow_sample(t.state["ema"], jax.random.PRNGKey(2), 32,
 show_grid(np.asarray(heun), "8-step Heun (2 evals/step), same weights",
           n=32)'''
 
+VQVAE_RECON = '''\
+# Stage-1 quality surface: reconstructions through the quantized
+# bottleneck, plus codebook usage (perplexity: K = uniform usage).
+import jax
+from generative_models_tpu.losses.vqvae import reconstruct
+
+xs = np.asarray(t.x_test[:32])
+recon = np.asarray(reconstruct(t.state["params"], xs,
+                               jax.random.PRNGKey(1), cfg))
+show_grid(np.concatenate([xs[:8], recon[:8], xs[8:16], recon[8:16]]),
+          "top: input / below: reconstruction (discrete bottleneck)",
+          n=32)
+print("codebook perplexity (last train chunk):",
+      round(float(np.asarray(history["perplexity"])[-1]), 2),
+      "of K =", cfg.vq_codebook_size)'''
+
+VQPRIOR_TEMP = '''\
+# The AR prior's free inference dial: sampling temperature. Lower
+# temperatures sharpen the token distribution (more canonical digits,
+# less diversity); higher flatten it toward the uniform-code decode
+# the vqvae notebook shows.
+import jax
+from generative_models_tpu.losses.vqprior import sample as vq_sample
+
+for temp in (0.7, 1.0, 1.3):
+    imgs = vq_sample(t.state["params"], jax.random.PRNGKey(3), 32,
+                     cfg.replace(vq_prior_temp=temp))
+    show_grid(np.asarray(imgs), f"ancestral samples, temperature {temp}",
+              n=32)'''
+
 CONV_MD = '''\
 # The second architecture: DCGAN-style conv stacks (`--arch conv`)
 
@@ -248,6 +278,10 @@ def build_notebook(variant: str) -> nbf.NotebookNode:
         cells.append(nbf.v4.new_code_cell(DDPM_SAMPLERS))
     if variant == "flow":
         cells.append(nbf.v4.new_code_cell(FLOW_SOLVERS))
+    if variant == "vqvae":
+        cells.append(nbf.v4.new_code_cell(VQVAE_RECON))
+    if variant == "vqprior":
+        cells.append(nbf.v4.new_code_cell(VQPRIOR_TEMP))
     nb.cells = cells
     return nb
 

@@ -251,6 +251,69 @@ def make_replica(variant: str, cfg, x_train: np.ndarray,
             opt.zero_grad(); loss.backward(); opt.step()
         return step
 
+    if variant in ("vqvae", "vqprior"):
+        # eager replica of losses/vqvae.py (+ the joint prior CE for
+        # vqprior, losses/vqprior.py): nearest-code search via the same
+        # matmul-form distances, straight-through estimator, Oord Eq. 3
+        # terms; the prior is the idiomatic torch causal transformer
+        # (nn.TransformerEncoderLayer, norm_first/gelu — the same
+        # pre-LN GPT block models/ar_prior.py hand-rolls)
+        HV, K = cfg.vae_hidden_dim, cfg.vq_codebook_size
+        D, L = cfg.vq_code_dim, cfg.vq_tokens
+        enc = nn.Sequential(nn.Linear(784, HV), nn.ReLU(),
+                            nn.Linear(HV, L * D))
+        dec = nn.Sequential(nn.Linear(L * D, HV), nn.ReLU(),
+                            nn.Linear(HV, 784))
+        book = nn.Parameter(torch.randn(K, D) / D ** 0.5)
+        params = [*enc.parameters(), *dec.parameters(), book]
+        bce_none = nn.BCEWithLogitsLoss(reduction="none")
+        if variant == "vqprior":
+            W = cfg.vq_prior_width
+            tok_emb = nn.Embedding(K + 1, W)
+            pos_emb = nn.Parameter(torch.randn(L, W))
+            blocks = nn.TransformerEncoder(
+                nn.TransformerEncoderLayer(
+                    W, cfg.vq_prior_heads, 4 * W, dropout=0.0,
+                    activation="gelu", batch_first=True,
+                    norm_first=True),
+                cfg.vq_prior_layers)
+            head = nn.Linear(W, K)
+            nn.init.zeros_(head.weight); nn.init.zeros_(head.bias)
+            mask = nn.Transformer.generate_square_subsequent_mask(L)
+            ce = nn.CrossEntropyLoss()
+            params += [*tok_emb.parameters(), pos_emb,
+                       *blocks.parameters(), *head.parameters()]
+        opt = _adam(params, cfg.g_lr)
+
+        def vq_terms(xb):
+            z = enc(xb).view(B, L, D)
+            d2 = (book ** 2).sum(-1) - 2.0 * z @ book.t()
+            idx = d2.argmin(-1)
+            zq = book[idx]
+            zst = z + (zq - z).detach()
+            recon = bce_none(dec(zst.view(B, -1)), xb).sum(1).mean()
+            codebook = ((z.detach() - zq) ** 2).sum((1, 2)).mean()
+            commit = ((z - zq.detach()) ** 2).sum((1, 2)).mean()
+            return recon + codebook + cfg.vq_beta * commit, idx
+
+        if variant == "vqvae":
+            def step():
+                xb, _ = bat.next()
+                loss, _ = vq_terms(xb)
+                opt.zero_grad(); loss.backward(); opt.step()
+            return step
+
+        def step():
+            xb, _ = bat.next()
+            loss, idx = vq_terms(xb)
+            toks = idx.detach()
+            inp = torch.cat([torch.full((B, 1), K), toks[:, :-1]], 1)
+            h = blocks(tok_emb(inp) + pos_emb[None], mask=mask)
+            logits = head(h)
+            loss = loss + ce(logits.reshape(B * L, K), toks.reshape(-1))
+            opt.zero_grad(); loss.backward(); opt.step()
+        return step
+
     # ----- adversarial family -----------------------------------------
     d_steps = max(cfg.d_steps, 1)
 

@@ -60,6 +60,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--reflow-gen-solver", default="heun",
                    choices=("euler", "heun"),
                    help="teacher ODE solver when generating couplings")
+    p.add_argument("--vq-from", default=None, metavar="CKPT",
+                   help="vqprior only: two-stage training (Oord 2017 "
+                        "§3.3). Load a trained vqvae checkpoint as the "
+                        "FROZEN tokenizer (sets --vq-freeze-tokenizer) "
+                        "and train only the latent prior on its tokens "
+                        "(train/vq.py). Without it, vqprior trains "
+                        "tokenizer + prior jointly")
     p.add_argument("--echo-every", type=int, default=100)
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (the zoo's sanitizer: "
@@ -131,10 +138,23 @@ def main(argv=None) -> int:
         print(f"reflow: {args.reflow_pairs} teacher couplings from "
               f"{args.reflow_from} ({args.reflow_gen_solver} "
               f"S={args.reflow_gen_steps})")
+    vq_params = None
+    if args.vq_from:
+        if args.sample_only:
+            print("--sample-only samples a trained model: pass the "
+                  "prior run's --ckpt, not --vq-from", file=sys.stderr)
+            return 2
+        from generative_models_tpu.train.vq import load_vqvae_params
+        cfg = cfg.replace(vq_freeze_tokenizer=True)  # vqprior-only guard
+        vq_params = load_vqvae_params(args.vq_from, cfg)
+        print(f"vqprior: frozen tokenizer from {args.vq_from}")
     t = Trainer(config=cfg, data=data, mesh=mesh)
     if teacher is not None and not args.reflow_fresh_init:
         from generative_models_tpu.train.reflow import init_student
         init_student(t, teacher)
+    if vq_params is not None:
+        from generative_models_tpu.train.vq import init_prior_with_vqvae
+        init_prior_with_vqvae(t, vq_params)
     if args.sample_only:
         if not args.ckpt or not ckpt_exists(args.ckpt, cfg.ckpt_backend):
             print("--sample-only needs an existing --ckpt", file=sys.stderr)

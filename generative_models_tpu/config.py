@@ -182,6 +182,23 @@ class Config:
     # drawn from the teacher's prior, not per label.
     flow_reflow: bool = False
 
+    # --- VQ-VAE family (losses/vqvae.py, losses/vqprior.py — the
+    # discrete-latent family, beyond the reference zoo) -----------------
+    vq_codebook_size: int = 64     # K (Oord 2017 uses 512 at scale)
+    vq_code_dim: int = 16          # D, the code-vector width
+    # token-grid size L for the MLP stack (arch="conv" always uses the
+    # 7x7 = 49 spatial grid — models/vq_net.py::num_tokens)
+    vq_tokens: int = 16
+    vq_beta: float = 0.25          # commitment weight (Oord 2017 §3.2)
+    # causal-transformer prior over the token grid (models/ar_prior.py)
+    vq_prior_width: int = 128
+    vq_prior_layers: int = 2
+    vq_prior_heads: int = 4
+    vq_prior_temp: float = 1.0     # AR sampling temperature
+    # vqprior only: freeze the tokenizer subtree (two-stage training,
+    # Oord §3.3 protocol; set by --vq-from). Default False = joint.
+    vq_freeze_tokenizer: bool = False
+
     # --- numerics / performance ----------------------------------------
     # Activation compute dtype; params stay f32. "auto" (the default)
     # resolves at Trainer build via the MEASURED policy (resolve_dtype):
@@ -366,6 +383,23 @@ class Config:
                 raise ValueError(
                     "flow_reflow stores raw-float noise columns; "
                     "data_storage='uint8' cannot represent them")
+        if self.vq_codebook_size < 2 or self.vq_code_dim < 1 or (
+                self.vq_tokens < 1):
+            raise ValueError(
+                "vq_codebook_size >= 2, vq_code_dim >= 1, vq_tokens >= 1 "
+                f"required; got K={self.vq_codebook_size} "
+                f"D={self.vq_code_dim} L={self.vq_tokens}")
+        if self.vq_prior_width % self.vq_prior_heads:
+            raise ValueError(
+                f"vq_prior_width ({self.vq_prior_width}) must divide "
+                f"evenly into vq_prior_heads ({self.vq_prior_heads})")
+        if self.vq_prior_temp <= 0.0:
+            raise ValueError(
+                f"vq_prior_temp must be > 0, got {self.vq_prior_temp}")
+        if self.vq_freeze_tokenizer and self.variant != "vqprior":
+            raise ValueError(
+                "vq_freeze_tokenizer applies to the vqprior variant "
+                f"only, got variant={self.variant!r}")
         if self.variant == "fgan":
             # fail fast with a clean message instead of a mid-trace error
             from generative_models_tpu.losses.fgan import get_divergence
@@ -417,6 +451,11 @@ VARIANT_OVERRIDES: Dict[str, Dict[str, Any]] = {
     # Flow matching (beyond-reference, round 4): single model like the
     # VAE/DDPM families; EMA sampling per flow-matching practice.
     "flow": {"d_steps": 0, "ema_decay": 0.999},
+    # VQ-VAE family (beyond-reference, round 4): likelihood-style
+    # training — torch-default Adam momentum like the VAE family, no
+    # EMA (Oord 2017 samples from the live weights).
+    "vqvae": {"d_steps": 0},
+    "vqprior": {"d_steps": 0},
 }
 
 VARIANTS: Tuple[str, ...] = tuple(VARIANT_OVERRIDES)

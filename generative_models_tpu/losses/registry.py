@@ -29,6 +29,8 @@ _SPECS: Dict[str, Tuple[str, str]] = {
     # Beyond the reference zoo (SURVEY.md §3.2 has no diffusion row):
     "ddpm": ("generative_models_tpu.losses.ddpm", "DDPM"),
     "flow": ("generative_models_tpu.losses.flow", "FLOW"),
+    "vqvae": ("generative_models_tpu.losses.vqvae", "VQVAE"),
+    "vqprior": ("generative_models_tpu.losses.vqprior", "VQPRIOR"),
 }
 
 

@@ -18,6 +18,8 @@ ACTIVATIONS = {
     "softplus": lambda x, slope: jax.nn.softplus(x),
     "elu": lambda x, slope: jax.nn.elu(x),
     "silu": lambda x, slope: x * jax.nn.sigmoid(x),
+    # tanh-approx GELU (the GPT-2 form) — pure elementwise, kernel-safe
+    "gelu": lambda x, slope: jax.nn.gelu(x, approximate=True),
 }
 
 

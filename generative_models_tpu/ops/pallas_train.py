@@ -75,6 +75,13 @@ the G/D pairs is structurally halved here. BASELINE.md "fused" section
 carries the numbers; `fused_step_supported` refuses ddpm with this
 reason.
 
+The VQ family (vqvae/vqprior, round 4) is a STRUCTURAL exclusion: its
+hot ops — the argmin nearest-code search, the one-hot codebook lookup,
+the prior's causal attention — are not in this kernel's
+linear-chain shape class at all; each is already a fused MXU matmul
+under XLA (ops/vq.py design note), so there is no per-op dispatch
+overhead for a chunk kernel to recover.
+
 Numerics: same math as the XLA step (logit-stable BCE gradients
 sigma(l)-target, optax-convention Adam m-hat/(sqrt(v-hat)+eps), torch-
 convention RMSprop g/(sqrt(nu)+eps) — train/optim.py, the same noise
@@ -1384,6 +1391,13 @@ def fused_step_supported(spec, cfg) -> Tuple[bool, str]:
                        "VMEM the chunk kernel keeps state resident in) "
                        "— see the module docstring and BASELINE.md "
                        "fused section")
+    if cfg.variant in ("vqvae", "vqprior"):
+        return False, (f"{cfg.variant} is a structural exclusion: the "
+                       "VQ family's hot ops (argmin nearest-code "
+                       "search, one-hot codebook lookup, causal "
+                       "attention) are not in the whole-MLP chunk "
+                       "kernel's shape class — XLA already lowers each "
+                       "as fused MXU matmuls (ops/vq.py design note)")
     if cfg.variant not in FUSED_VARIANTS:
         return False, f"fused_step covers {FUSED_VARIANTS} only"
     if cfg.arch != "mlp":

@@ -16,7 +16,7 @@ def test_registry_is_complete():
         "vae", "birvae", "mmgan", "nsgan", "lsgan", "wgan", "wgangp",
         "dragan", "began", "ragan", "infogan", "fgan", "fishergan", "cgan",
     }
-    beyond_reference = {"ddpm", "flow"}
+    beyond_reference = {"ddpm", "flow", "vqvae", "vqprior"}
     assert set(ALL_VARIANTS) == reference_zoo | beyond_reference
 
 

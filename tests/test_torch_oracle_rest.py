@@ -356,3 +356,205 @@ def test_fgan_remaining_divergences_parity(fixtures, div):
                                atol=1e-6)
     assert_tree_close(g_grads_j, torch_grads_as_jaxtree(G), rtol=5e-4,
                       atol=5e-6)
+
+
+# ----- VQ-VAE family (round 4; deterministic losses, no rng coupling) --
+
+VQ_KW = dict(vae_hidden_dim=16, vq_tokens=3, vq_code_dim=4,
+             vq_codebook_size=5, batch_size=8, vq_prior_width=8,
+             vq_prior_layers=1, vq_prior_heads=2)
+HV, L, D, K, W = 16, 3, 4, 5, 8
+
+
+def _vq_jax_params(rng):
+    ew1, eb1 = np_linear(rng, XD, HV)
+    ew2, eb2 = np_linear(rng, HV, L * D)
+    dw1, db1 = np_linear(rng, L * D, HV)
+    dw2, db2 = np_linear(rng, HV, XD)
+    book = (rng.normal(size=(K, D)) * 0.5).astype(np.float32)
+    params = {
+        "encoder": {"trunk": to_jax_params((ew1, eb1, ew2, eb2))},
+        "decoder": {"trunk": to_jax_params((dw1, db1, dw2, db2))},
+        "codebook": jnp.asarray(book),
+    }
+    raw = dict(ew1=ew1, eb1=eb1, ew2=ew2, eb2=eb2, dw1=dw1, db1=db1,
+               dw2=dw2, db2=db2, book=book)
+    return params, raw
+
+
+def _torch_vq_terms(raw, xt, beta):
+    enc1, enc2 = torch.nn.Linear(XD, HV), torch.nn.Linear(HV, L * D)
+    dec1, dec2 = torch.nn.Linear(L * D, HV), torch.nn.Linear(HV, XD)
+    _copy(enc1, raw["ew1"], raw["eb1"]); _copy(enc2, raw["ew2"], raw["eb2"])
+    _copy(dec1, raw["dw1"], raw["db1"]); _copy(dec2, raw["dw2"], raw["db2"])
+    book = torch.nn.Parameter(torch.from_numpy(raw["book"]).clone())
+    z = enc2(torch.relu(enc1(xt))).view(-1, L, D)
+    d2 = (book ** 2).sum(-1) - 2.0 * z @ book.t()
+    idx = d2.argmin(-1)
+    zq = book[idx]
+    zst = z + (zq - z).detach()
+    logits = dec2(torch.relu(dec1(zst.flatten(1))))
+    recon = torch.nn.functional.binary_cross_entropy_with_logits(
+        logits, xt, reduction="none").sum(1).mean()
+    codebook = ((z.detach() - zq) ** 2).sum((1, 2)).mean()
+    commit = ((z - zq.detach()) ** 2).sum((1, 2)).mean()
+    total = recon + codebook + beta * commit
+    return total, idx, dict(enc1=enc1, enc2=enc2, dec1=dec1, dec2=dec2,
+                            book=book)
+
+
+def _assert_vq_grads(j_grads, mods, rtol=5e-4, atol=5e-6):
+    pairs = [
+        (j_grads["encoder"]["trunk"][0], mods["enc1"]),
+        (j_grads["encoder"]["trunk"][1], mods["enc2"]),
+        (j_grads["decoder"]["trunk"][0], mods["dec1"]),
+        (j_grads["decoder"]["trunk"][1], mods["dec2"]),
+    ]
+    for jl, tl in pairs:
+        np.testing.assert_allclose(np.asarray(jl["w"]),
+                                   tl.weight.grad.numpy().T,
+                                   rtol=rtol, atol=atol)
+        np.testing.assert_allclose(np.asarray(jl["b"]),
+                                   tl.bias.grad.numpy(),
+                                   rtol=rtol, atol=atol)
+    np.testing.assert_allclose(np.asarray(j_grads["codebook"]),
+                               mods["book"].grad.numpy(),
+                               rtol=rtol, atol=atol)
+
+
+def test_vqvae_parity():
+    """Oord Eq. 3 (recon + codebook + beta*commit with straight-through)
+    against an eager torch replica: loss and ALL parameter grads,
+    including the codebook's scatter-style gradient."""
+    from generative_models_tpu.losses import vqvae as vq_mod
+
+    rng = np.random.default_rng(11)
+    cfg = variant_config("vqvae", **VQ_KW)
+    params, raw = _vq_jax_params(rng)
+    x = rng.random((8, XD), dtype=np.float32)
+
+    (loss_j, m), grads_j = jax.value_and_grad(
+        lambda p: vq_mod.loss(p, {"image": jnp.asarray(x)},
+                              jax.random.PRNGKey(0), cfg),
+        has_aux=True)(params)
+
+    xt = torch.from_numpy(x)
+    loss_t, idx_t, mods = _torch_vq_terms(raw, xt, cfg.vq_beta)
+    loss_t.backward()
+    # the two frameworks pick the same nearest codes
+    from generative_models_tpu.models import vq_net
+    from generative_models_tpu.ops import vq as vq_ops
+    z = vq_net.encoder_apply(params["encoder"], jnp.asarray(x), cfg)
+    idx_j, _ = vq_ops.quantize(z, params["codebook"])
+    np.testing.assert_array_equal(np.asarray(idx_j), idx_t.numpy())
+    assert np.isfinite(float(m["perplexity"]))
+    np.testing.assert_allclose(float(loss_j), loss_t.item(), rtol=1e-5,
+                               atol=1e-6)
+    _assert_vq_grads(grads_j, mods)
+
+
+def test_vqprior_joint_parity():
+    """The joint vqprior loss (vq terms + prior CE) against torch's OWN
+    transformer stack (nn.TransformerEncoderLayer, pre-LN, tanh-GELU,
+    torch's MultiheadAttention with a causal mask) — an independent
+    implementation of the causal block models/ar_prior.py hand-rolls.
+    Loss + grads on tokenizer, codebook, embeddings, attention, MLP and
+    head parameters."""
+    from generative_models_tpu.losses import vqprior as vqp_mod
+
+    rng = np.random.default_rng(13)
+    cfg = variant_config("vqprior", **VQ_KW)
+    params, raw = _vq_jax_params(rng)
+
+    tok = rng.normal(size=(K + 1, W)).astype(np.float32)
+    pos = rng.normal(size=(L, W)).astype(np.float32)
+    qkv_w, qkv_b = np_linear(rng, W, 3 * W)
+    proj_w, proj_b = np_linear(rng, W, W)
+    fc1_w, fc1_b = np_linear(rng, W, 4 * W)
+    fc2_w, fc2_b = np_linear(rng, 4 * W, W)
+    head_w, head_b = np_linear(rng, W, K)  # nonzero: exercise the body
+    ones_w, zeros_w = np.ones(W, np.float32), np.zeros(W, np.float32)
+    prior = {
+        "tok": jnp.asarray(tok), "pos": jnp.asarray(pos),
+        "blocks": [{
+            "ln1": {"scale": jnp.asarray(ones_w), "bias": jnp.asarray(zeros_w)},
+            "qkv": {"w": jnp.asarray(qkv_w), "b": jnp.asarray(qkv_b)},
+            "proj": {"w": jnp.asarray(proj_w), "b": jnp.asarray(proj_b)},
+            "ln2": {"scale": jnp.asarray(ones_w), "bias": jnp.asarray(zeros_w)},
+            "fc1": {"w": jnp.asarray(fc1_w), "b": jnp.asarray(fc1_b)},
+            "fc2": {"w": jnp.asarray(fc2_w), "b": jnp.asarray(fc2_b)},
+        }],
+        "ln_f": {"scale": jnp.asarray(ones_w), "bias": jnp.asarray(zeros_w)},
+        "head": {"w": jnp.asarray(head_w), "b": jnp.asarray(head_b)},
+    }
+    jparams = {"prior": prior, "vqvae": params}
+    x = rng.random((8, XD), dtype=np.float32)
+
+    (loss_j, m_j), grads_j = jax.value_and_grad(
+        lambda p: vqp_mod.loss(p, {"image": jnp.asarray(x)},
+                               jax.random.PRNGKey(0), cfg),
+        has_aux=True)(jparams)
+
+    # ----- torch side ------------------------------------------------
+    xt = torch.from_numpy(x)
+    vq_loss_t, idx_t, mods = _torch_vq_terms(raw, xt, cfg.vq_beta)
+    toks = idx_t.detach()
+    tok_emb = torch.nn.Embedding(K + 1, W)
+    with torch.no_grad():
+        tok_emb.weight.copy_(torch.from_numpy(tok))
+    pos_t = torch.nn.Parameter(torch.from_numpy(pos).clone())
+    layer = torch.nn.TransformerEncoderLayer(
+        W, 2, dim_feedforward=4 * W, dropout=0.0,
+        activation=lambda t: torch.nn.functional.gelu(
+            t, approximate="tanh"),
+        batch_first=True, norm_first=True)
+    with torch.no_grad():
+        layer.self_attn.in_proj_weight.copy_(torch.from_numpy(qkv_w.T))
+        layer.self_attn.in_proj_bias.copy_(torch.from_numpy(qkv_b))
+        layer.self_attn.out_proj.weight.copy_(torch.from_numpy(proj_w.T))
+        layer.self_attn.out_proj.bias.copy_(torch.from_numpy(proj_b))
+        layer.linear1.weight.copy_(torch.from_numpy(fc1_w.T))
+        layer.linear1.bias.copy_(torch.from_numpy(fc1_b))
+        layer.linear2.weight.copy_(torch.from_numpy(fc2_w.T))
+        layer.linear2.bias.copy_(torch.from_numpy(fc2_b))
+        layer.norm1.weight.fill_(1.0); layer.norm1.bias.zero_()
+        layer.norm2.weight.fill_(1.0); layer.norm2.bias.zero_()
+    ln_f = torch.nn.LayerNorm(W)
+    head = torch.nn.Linear(W, K)
+    _copy(head, head_w, head_b)
+    with torch.no_grad():
+        ln_f.weight.fill_(1.0); ln_f.bias.zero_()
+
+    inp = torch.cat([torch.full((8, 1), K), toks[:, :-1]], 1)
+    mask = torch.nn.Transformer.generate_square_subsequent_mask(L)
+    h = layer(tok_emb(inp) + pos_t[None], src_mask=mask)
+    logits = head(ln_f(h))
+    ce_t = torch.nn.functional.cross_entropy(
+        logits.reshape(8 * L, K), toks.reshape(-1))
+    total_t = vq_loss_t + ce_t
+    total_t.backward()
+
+    np.testing.assert_allclose(float(loss_j), total_t.item(), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(float(m_j["prior_loss"]), ce_t.item(),
+                               rtol=1e-5, atol=1e-6)
+    _assert_vq_grads(grads_j["vqvae"], mods)
+    gp = grads_j["prior"]
+    blk = gp["blocks"][0]
+    checks = [
+        (gp["tok"], tok_emb.weight.grad.numpy()),
+        (gp["pos"], pos_t.grad.numpy()),
+        (blk["qkv"]["w"], layer.self_attn.in_proj_weight.grad.numpy().T),
+        (blk["qkv"]["b"], layer.self_attn.in_proj_bias.grad.numpy()),
+        (blk["proj"]["w"], layer.self_attn.out_proj.weight.grad.numpy().T),
+        (blk["fc1"]["w"], layer.linear1.weight.grad.numpy().T),
+        (blk["fc2"]["w"], layer.linear2.weight.grad.numpy().T),
+        (blk["ln1"]["scale"], layer.norm1.weight.grad.numpy()),
+        (blk["ln2"]["scale"], layer.norm2.weight.grad.numpy()),
+        (gp["ln_f"]["scale"], ln_f.weight.grad.numpy()),
+        (gp["head"]["w"], head.weight.grad.numpy().T),
+        (gp["head"]["b"], head.bias.grad.numpy()),
+    ]
+    for jg, tg in checks:
+        np.testing.assert_allclose(np.asarray(jg), tg, rtol=5e-4,
+                                   atol=5e-6)

@@ -1,0 +1,238 @@
+"""VQ-VAE family (losses/vqvae.py, losses/vqprior.py, ops/vq.py,
+models/ar_prior.py) — beyond-reference capability tests: quantization
+math pinned against brute force, straight-through gradient identity,
+the zero-init prior's exact log-K start, causal-mask independence,
+frozen-tokenizer exactness, and both training modes end-to-end."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from generative_models_tpu.losses.vqprior import VQPRIOR, sample_tokens
+from generative_models_tpu.losses.vqvae import (
+    VQVAE,
+    decode_tokens,
+    encode_tokens,
+)
+from generative_models_tpu.models import ar_prior
+from generative_models_tpu.models.vq_net import num_tokens
+from generative_models_tpu.ops import vq
+from generative_models_tpu.train.trainer import Trainer
+from generative_models_tpu.train.vq import (
+    init_prior_with_vqvae,
+    load_vqvae_params,
+)
+from tests.conftest import tiny_cfg
+
+VQ_TINY = dict(vq_codebook_size=8, vq_code_dim=4, vq_tokens=4,
+               vq_prior_width=16, vq_prior_layers=1, vq_prior_heads=2)
+
+
+def vq_cfg(variant="vqvae", **kw):
+    merged = dict(VQ_TINY)
+    merged.update(kw)
+    return tiny_cfg(variant, **merged)
+
+
+def test_config_validation():
+    with pytest.raises(ValueError, match="vq_codebook_size"):
+        vq_cfg(vq_codebook_size=1)
+    with pytest.raises(ValueError, match="vq_prior_width"):
+        vq_cfg(vq_prior_width=15)
+    with pytest.raises(ValueError, match="vq_prior_temp"):
+        vq_cfg(vq_prior_temp=0.0)
+    with pytest.raises(ValueError, match="vqprior variant only"):
+        vq_cfg("vqvae", vq_freeze_tokenizer=True)
+    vq_cfg("vqprior", vq_freeze_tokenizer=True)  # valid
+
+
+def test_quantize_matches_bruteforce():
+    """The matmul-form nearest-code search equals the O(N*K*D)
+    pairwise-difference argmin, and lookup returns those rows."""
+    rs = np.random.RandomState(0)
+    z = jnp.asarray(rs.randn(5, 7, 3).astype(np.float32))
+    book = jnp.asarray(rs.randn(11, 3).astype(np.float32))
+    idx, z_q = vq.quantize(z, book)
+    d_full = np.sum(
+        (np.asarray(z)[..., None, :] - np.asarray(book)) ** 2, axis=-1)
+    np.testing.assert_array_equal(np.asarray(idx), d_full.argmin(-1))
+    np.testing.assert_allclose(np.asarray(z_q),
+                               np.asarray(book)[d_full.argmin(-1)],
+                               rtol=1e-6)
+
+
+def test_straight_through_gradients():
+    """d/dz of f(straight_through(z, z_q)) is exactly d/dy f(y)|_{z_q}
+    (identity backward); the codebook gets NO gradient through the
+    straight-through path."""
+    rs = np.random.RandomState(1)
+    z = jnp.asarray(rs.randn(4, 3).astype(np.float32))
+    book = jnp.asarray(rs.randn(6, 3).astype(np.float32))
+
+    def f(zz, bb):
+        _, z_q = vq.quantize(zz, bb)
+        st = vq.straight_through(zz, z_q)
+        return jnp.sum(st ** 2)
+
+    gz, gb = jax.grad(f, argnums=(0, 1))(z, book)
+    _, z_q = vq.quantize(z, book)
+    np.testing.assert_allclose(np.asarray(gz), 2.0 * np.asarray(z_q),
+                               rtol=1e-5, atol=1e-6)
+    assert np.abs(np.asarray(gb)).max() == 0.0
+
+
+def test_perplexity_bounds():
+    assert float(vq.perplexity(jnp.zeros((32,), jnp.int32), 8)) == (
+        pytest.approx(1.0, abs=1e-4))
+    uniform = jnp.arange(32, dtype=jnp.int32) % 8
+    assert float(vq.perplexity(uniform, 8)) == pytest.approx(8.0, rel=1e-4)
+
+
+def test_vqvae_loss_terms_hand_math():
+    """With a 1-token, 1-dim latent the Oord terms are scalar algebra:
+    fix the codebook at {-1, +2}, encoder output 0.5 -> nearest code
+    -1? no: |0.5-(-1)|=1.5, |0.5-2|=1.5 — tie; use 0.6 -> code 2?
+    |0.6+1|=1.6, |0.6-2|=1.4 -> code +2. codebook term (0.6-2)^2,
+    commit beta*(0.6-2)^2."""
+    cfg = vq_cfg(vq_codebook_size=2, vq_code_dim=1, vq_tokens=1,
+                 batch_size=2)
+    params = VQVAE.init_params(jax.random.PRNGKey(0), cfg)
+    # overwrite with hand values: encoder ignored — call _terms pieces
+    book = jnp.asarray([[-1.0], [2.0]])
+    z = jnp.asarray([[[0.6]], [[0.6]]])
+    idx, z_q = vq.quantize(z, book)
+    np.testing.assert_array_equal(np.asarray(idx), [[1], [1]])
+    codebook_term = float(jnp.mean(jnp.sum(
+        (jax.lax.stop_gradient(z) - z_q) ** 2, axis=(1, 2))))
+    assert codebook_term == pytest.approx((0.6 - 2.0) ** 2, rel=1e-6)
+    del params
+
+
+def test_vqvae_trains_and_reconstructs(tiny_data):
+    cfg = vq_cfg("vqvae", scan_steps=5)
+    t = Trainer(config=cfg, data=tiny_data)
+    hist = t.train(steps=40, sample_every=-1)
+    losses = np.asarray(hist["loss"])
+    assert np.all(np.isfinite(losses))
+    assert np.mean(losses[-10:]) < np.mean(losses[:5])
+    # codebook is actually used (no immediate collapse to one code)
+    assert hist["perplexity"][-1] > 1.5
+    # reconstruction path: encode -> decode roundtrip shapes and range
+    x = jnp.asarray(tiny_data["x_train"][:8].reshape(8, -1) / 255.0
+                    if tiny_data["x_train"].dtype == np.uint8
+                    else tiny_data["x_train"][:8].reshape(8, -1))
+    p = t.state["params"]
+    toks = encode_tokens(p, x, cfg)
+    assert toks.shape == (8, num_tokens(cfg))
+    rec = decode_tokens(p, toks, cfg)
+    assert rec.shape == (8, cfg.image_dim)
+    assert float(rec.min()) >= 0.0 and float(rec.max()) <= 1.0
+
+
+def test_prior_zero_init_starts_at_log_k():
+    """Zero-init head -> uniform prior -> CE == log K exactly at init,
+    for ANY token batch (the ddpm_net zero-init convention)."""
+    cfg = vq_cfg("vqprior")
+    params = VQPRIOR.init_params(jax.random.PRNGKey(0), cfg)
+    rs = np.random.RandomState(2)
+    batch = {"image": jnp.asarray(
+        rs.rand(16, cfg.image_dim).astype(np.float32))}
+    val, m = VQPRIOR.loss(params, batch, jax.random.PRNGKey(1), cfg)
+    np.testing.assert_allclose(m["prior_loss"],
+                               np.log(cfg.vq_codebook_size), rtol=1e-5)
+
+
+def test_prior_causality():
+    """logits[:, i] is independent of input tokens at positions > i
+    (and of the label at i itself only through the shift): perturb the
+    input at position j — logits at positions < j must be bit-equal."""
+    cfg = vq_cfg("vqprior")
+    params = ar_prior.prior_init(jax.random.PRNGKey(0), cfg)
+    # non-zero head so causality is tested through real logits
+    params["head"] = {"w": jax.random.normal(
+        jax.random.PRNGKey(1),
+        (cfg.vq_prior_width, cfg.vq_codebook_size)) * 0.1,
+        "b": jnp.zeros((cfg.vq_codebook_size,))}
+    l = num_tokens(cfg)
+    rs = np.random.RandomState(3)
+    toks = jnp.asarray(rs.randint(0, cfg.vq_codebook_size, (4, l)))
+    base = ar_prior.prior_apply(params, toks, cfg)
+    j = l // 2
+    mutated = toks.at[:, j].set((toks[:, j] + 1) % cfg.vq_codebook_size)
+    out = ar_prior.prior_apply(params, mutated, cfg)
+    np.testing.assert_array_equal(np.asarray(base[:, :j]),
+                                  np.asarray(out[:, :j]))
+    assert np.abs(np.asarray(base[:, j:]) - np.asarray(out[:, j:])).max() > 0
+
+
+def test_vqprior_joint_trains_and_samples(tiny_data):
+    cfg = vq_cfg("vqprior", scan_steps=5)
+    t = Trainer(config=cfg, data=tiny_data)
+    hist = t.train(steps=40, sample_every=-1)
+    assert np.all(np.isfinite(np.asarray(hist["loss"])))
+    # both objectives move: prior below its exact log-K start, recon down
+    assert hist["prior_loss"][-1] < np.log(cfg.vq_codebook_size)
+    assert hist["recon_loss"][-1] < hist["recon_loss"][0]
+    imgs = t.sample(8)
+    assert imgs.shape == (8, 784)
+    assert np.isfinite(imgs).all()
+    assert imgs.min() >= 0.0 and imgs.max() <= 1.0
+
+
+def test_frozen_tokenizer_is_bit_exact(tiny_data):
+    """Two-stage mode: the vqvae subtree's gradients are identically
+    zero, so Adam leaves it UNCHANGED while the prior trains."""
+    cfg = vq_cfg("vqprior", vq_freeze_tokenizer=True, scan_steps=5)
+    t = Trainer(config=cfg, data=tiny_data)
+    before = jax.tree_util.tree_map(np.asarray, t.state["params"]["vqvae"])
+    hist = t.train(steps=20, sample_every=-1)
+    after = t.state["params"]["vqvae"]
+    for a, b in zip(jax.tree_util.tree_leaves(before),
+                    jax.tree_util.tree_leaves(after)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # ... and the prior still learned
+    assert hist["prior_loss"][-1] < np.log(cfg.vq_codebook_size)
+    # the total IS the CE in frozen mode
+    np.testing.assert_allclose(hist["loss"][-1], hist["prior_loss"][-1],
+                               rtol=1e-6)
+
+
+def test_two_stage_pipeline(tmp_path, tiny_data):
+    """The full Oord §3.3 protocol through the public wiring: train
+    vqvae -> checkpoint -> load into a frozen vqprior run -> the
+    loaded tokenizer is bit-equal and the student samples."""
+    cfg1 = vq_cfg("vqvae", scan_steps=5)
+    s1 = Trainer(config=cfg1, data=tiny_data)
+    s1.train(steps=20, sample_every=-1)
+    path = s1.save_model(str(tmp_path / "vq"))
+
+    cfg2 = vq_cfg("vqprior", vq_freeze_tokenizer=True, scan_steps=5)
+    loaded = load_vqvae_params(path, cfg2)
+    for a, b in zip(jax.tree_util.tree_leaves(loaded),
+                    jax.tree_util.tree_leaves(s1.state["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    s2 = Trainer(config=cfg2, data=tiny_data)
+    init_prior_with_vqvae(s2, loaded)
+    for a, b in zip(
+            jax.tree_util.tree_leaves(s2.state["params"]["vqvae"]),
+            jax.tree_util.tree_leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    s2.train(steps=20, sample_every=-1)
+    imgs = s2.sample(4)
+    assert imgs.shape == (4, 784)
+    assert np.isfinite(imgs).all()
+
+
+def test_sample_tokens_temperature_and_determinism():
+    cfg = vq_cfg("vqprior")
+    params = VQPRIOR.init_params(jax.random.PRNGKey(0), cfg)
+    t1 = sample_tokens(params["prior"], jax.random.PRNGKey(7), 6, cfg)
+    t2 = sample_tokens(params["prior"], jax.random.PRNGKey(7), 6, cfg)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    t3 = sample_tokens(params["prior"], jax.random.PRNGKey(8), 6, cfg)
+    assert np.abs(np.asarray(t1) - np.asarray(t3)).max() > 0
+    assert t1.shape == (6, num_tokens(cfg))
+    assert int(t1.min()) >= 0
+    assert int(t1.max()) < cfg.vq_codebook_size
