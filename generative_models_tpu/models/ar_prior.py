@@ -116,7 +116,10 @@ def prior_apply(params, tokens_in, cfg: Config):
     """Next-token logits [B, L, K] for SHIFTED input tokens [B, L]
     (ints in [0, K]; K = BOS). logits[:, i] conditions only on
     tokens_in[:, : i + 1] (causal)."""
-    x = params["tok"][tokens_in] + params["pos"][None]
+    # jnp.take, not fancy-indexing: exported samplers bake params as
+    # host numpy constants, which cannot be indexed by tracers
+    x = jnp.take(jnp.asarray(params["tok"]), tokens_in, axis=0
+                 ) + jnp.asarray(params["pos"])[None]
     for blk in params["blocks"]:
         x = x + _attn(blk, _ln_apply(blk["ln1"], x), cfg)
         h = _lin(blk["fc1"], _ln_apply(blk["ln2"], x), act="gelu")

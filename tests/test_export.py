@@ -14,13 +14,17 @@ from tests.conftest import tiny_cfg
 
 
 @pytest.mark.parametrize("variant", ["nsgan", "vae", "cgan", "ddpm",
-                                     "flow"])
+                                     "flow", "vqprior"])
 def test_export_roundtrip(variant, tiny_data, tmp_path):
     """ddpm rides too: its exported artifact bakes the whole reverse
     lax.scan chain (the serving path BASELINE.md's images/s-vs-S curve
-    measures), not just one net eval."""
+    measures), not just one net eval. vqprior bakes the ancestral
+    token scan (argmin/one-hot/attention/categorical) + the decoder."""
     extra = ({"ddpm_timesteps": 25, "ddpm_beta_end": 0.3}
-             if variant == "ddpm" else {})
+             if variant == "ddpm" else
+             {"vq_codebook_size": 8, "vq_code_dim": 4, "vq_tokens": 4,
+              "vq_prior_width": 16, "vq_prior_layers": 1,
+              "vq_prior_heads": 2} if variant == "vqprior" else {})
     t = Trainer(config=tiny_cfg(variant, **extra), data=tiny_data)
     t.train(steps=4)
     params = t.generator_params

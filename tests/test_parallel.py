@@ -232,6 +232,34 @@ def test_flow_shard_map_trains_and_samples(tiny_data):
     assert imgs.shape == (8, 784) and np.isfinite(imgs).all()
 
 
+def test_vqprior_jit_dp_matches_single_device(tiny_data):
+    """The VQ family's loss terms are all per-sample means (recon /
+    codebook / commitment sums per row, token CE per position) — the
+    joint vqprior trajectory under jit-DP must reproduce single-device.
+    (The perplexity METRIC is a batch statistic; under shard_map it is
+    a pmean of shard perplexities — diagnostics only, never in the
+    gradient.)"""
+    outs = []
+    for mesh in (None, cpu_mesh(8)):
+        cfg = tiny_cfg("vqprior", vq_codebook_size=8, vq_code_dim=4,
+                       vq_tokens=4, vq_prior_width=16,
+                       vq_prior_layers=1, vq_prior_heads=2)
+        t = Trainer(config=cfg, data=tiny_data, mesh=mesh)
+        outs.append(np.array(t.train(steps=6)["loss"]))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=2e-4, atol=1e-5)
+
+
+def test_vqprior_shard_map_trains_and_samples(tiny_data):
+    cfg = tiny_cfg("vqprior", dp_impl="shard_map", vq_codebook_size=8,
+                   vq_code_dim=4, vq_tokens=4, vq_prior_width=16,
+                   vq_prior_layers=1, vq_prior_heads=2)
+    t = Trainer(config=cfg, data=tiny_data, mesh=cpu_mesh(8))
+    hist = t.train(steps=6)
+    assert np.all(np.isfinite(hist["loss"]))
+    imgs = t.sample(8)
+    assert imgs.shape == (8, 784) and np.isfinite(imgs).all()
+
+
 def test_shard_map_uint8_storage_bitwise_matches_f32(tiny_data):
     """The shard_map gather's post-gather u8 decode (parallel/dp.py)
     is the same multiply as the host conversion — storage dtype must

@@ -890,3 +890,176 @@ def test_flow_50_step_trajectory_matches_torch():
         state, m_ = train_step(state, batch)
         j_l.append(float(m_["loss"]))
     _assert_curves(j_l, t_l)
+
+
+def _vq_cfg_and_weights(variant):
+    HV, L, D, K = 32, 4, 8, 16
+    rng = np.random.default_rng(29)
+    enc_ws = [_np_linear(rng, XD, HV), _np_linear(rng, HV, L * D)]
+    dec_ws = [_np_linear(rng, L * D, HV), _np_linear(rng, HV, XD)]
+    book = (rng.normal(size=(K, D)) * 0.35).astype(np.float32)
+    xs = rng.random((STEPS, B, XD), dtype=np.float32)
+    cfg = variant_config(variant, batch_size=B, vae_hidden_dim=HV,
+                         vq_tokens=L, vq_code_dim=D, vq_codebook_size=K,
+                         vq_prior_width=16, vq_prior_layers=1,
+                         vq_prior_heads=2)
+    assert cfg.d_steps == 0 and cfg.adam_b1 == 0.9
+    vq_params = {"encoder": {"trunk": _jx_params(enc_ws)},
+                 "decoder": {"trunk": _jx_params(dec_ws)},
+                 "codebook": jnp.asarray(book)}
+    return cfg, vq_params, (enc_ws, dec_ws, book), xs, (HV, L, D, K)
+
+
+def _torch_vq_modules(enc_ws, dec_ws, book):
+    enc1 = torch.nn.Linear(*[s for s in enc_ws[0][0].shape])
+    enc2 = torch.nn.Linear(*[s for s in enc_ws[1][0].shape])
+    dec1 = torch.nn.Linear(*[s for s in dec_ws[0][0].shape])
+    dec2 = torch.nn.Linear(*[s for s in dec_ws[1][0].shape])
+    _copy_into([enc1, enc2], enc_ws)
+    _copy_into([dec1, dec2], dec_ws)
+    book_t = torch.nn.Parameter(torch.from_numpy(book).clone())
+    return enc1, enc2, dec1, dec2, book_t
+
+
+def _torch_vq_loss(mods, xb, L, D, beta):
+    enc1, enc2, dec1, dec2, book_t = mods
+    z = enc2(torch.relu(enc1(xb))).view(-1, L, D)
+    d2 = (book_t ** 2).sum(-1) - 2.0 * z @ book_t.t()
+    idx = d2.argmin(-1)
+    zq = book_t[idx]
+    zst = z + (zq - z).detach()
+    recon = F.binary_cross_entropy_with_logits(
+        dec2(torch.relu(dec1(zst.flatten(1)))), xb,
+        reduction="none").sum(1).mean()
+    codebook = ((z.detach() - zq) ** 2).sum((1, 2)).mean()
+    commit = ((z - zq.detach()) ** 2).sum((1, 2)).mean()
+    return recon + codebook + beta * commit, idx
+
+
+def test_vqvae_50_step_trajectory_matches_torch():
+    """VQ-VAE (round 4, 17th variant): same weights, same batches, same
+    Adam — the Oord Eq. 3 trajectory matches an eager torch replica
+    step-for-step. Fully deterministic (no rng in the loss), so no
+    noise replay is needed; the pin covers the straight-through
+    estimator's gradient flow and the codebook's scatter-style updates
+    over 50 steps of drifting assignments."""
+    cfg, vq_params, (enc_ws, dec_ws, book), xs, (HV, L, D, K) = (
+        _vq_cfg_and_weights("vqvae"))
+    spec = get_variant("vqvae")
+    state = step_lib.init_state(spec, cfg, jax.random.PRNGKey(0))
+    state["params"] = vq_params
+    state["opt"] = make_tx(cfg, cfg.g_lr).init(state["params"])
+
+    mods = _torch_vq_modules(enc_ws, dec_ws, book)
+    params_t = [*mods[0].parameters(), *mods[1].parameters(),
+                *mods[2].parameters(), *mods[3].parameters(), mods[4]]
+    opt = _adam_like(cfg, params_t, cfg.g_lr)
+    t_l = []
+    for k in range(STEPS):
+        loss, _ = _torch_vq_loss(mods, torch.from_numpy(xs[k]), L, D,
+                                 cfg.vq_beta)
+        opt.zero_grad(); loss.backward(); opt.step()
+        t_l.append(loss.item())
+
+    train_step = step_lib.build_step(spec, cfg)
+    j_l = []
+    for k in range(STEPS):
+        batch = {"image": jnp.asarray(xs[k][None]),
+                 "label": jnp.zeros((1, B), jnp.int32)}
+        state, m_ = train_step(state, batch)
+        j_l.append(float(m_["loss"]))
+    _assert_curves(j_l, t_l)
+
+
+def test_vqprior_joint_50_step_trajectory_matches_torch():
+    """VQ prior, joint mode (round 4, 18th variant): tokenizer + causal
+    transformer under one Adam, pinned against torch's OWN transformer
+    stack (nn.TransformerEncoderLayer, pre-LN, tanh-GELU) — 50
+    deterministic steps where the prior chases the tokenizer's moving
+    token targets. The head gets RANDOM weights (overriding zero-init)
+    so the transformer body trains from step 0."""
+    cfg, vq_params, (enc_ws, dec_ws, book), xs, (HV, L, D, K) = (
+        _vq_cfg_and_weights("vqprior"))
+    W = cfg.vq_prior_width
+    rng = np.random.default_rng(31)
+    tok = (rng.normal(size=(K + 1, W)) * 0.5).astype(np.float32)
+    pos = (rng.normal(size=(L, W)) * 0.5).astype(np.float32)
+    qkv_w = _np_linear(rng, W, 3 * W)
+    proj_w = _np_linear(rng, W, W)
+    fc1_w = _np_linear(rng, W, 4 * W)
+    fc2_w = _np_linear(rng, 4 * W, W)
+    head_w = _np_linear(rng, W, K)
+    ones_w = jnp.ones((W,), jnp.float32)
+    zeros_w = jnp.zeros((W,), jnp.float32)
+    prior = {
+        "tok": jnp.asarray(tok), "pos": jnp.asarray(pos),
+        "blocks": [{
+            "ln1": {"scale": ones_w, "bias": zeros_w},
+            "qkv": _jx_params([qkv_w])[0],
+            "proj": _jx_params([proj_w])[0],
+            "ln2": {"scale": ones_w, "bias": zeros_w},
+            "fc1": _jx_params([fc1_w])[0],
+            "fc2": _jx_params([fc2_w])[0],
+        }],
+        "ln_f": {"scale": ones_w, "bias": zeros_w},
+        "head": _jx_params([head_w])[0],
+    }
+    spec = get_variant("vqprior")
+    state = step_lib.init_state(spec, cfg, jax.random.PRNGKey(0))
+    state["params"] = {"prior": prior, "vqvae": vq_params}
+    state["opt"] = make_tx(cfg, cfg.g_lr).init(state["params"])
+
+    # torch replica
+    mods = _torch_vq_modules(enc_ws, dec_ws, book)
+    tok_emb = torch.nn.Embedding(K + 1, W)
+    with torch.no_grad():
+        tok_emb.weight.copy_(torch.from_numpy(tok))
+    pos_t = torch.nn.Parameter(torch.from_numpy(pos).clone())
+    layer = torch.nn.TransformerEncoderLayer(
+        W, cfg.vq_prior_heads, dim_feedforward=4 * W, dropout=0.0,
+        activation=lambda t: F.gelu(t, approximate="tanh"),
+        batch_first=True, norm_first=True)
+    with torch.no_grad():
+        layer.self_attn.in_proj_weight.copy_(torch.from_numpy(qkv_w[0].T))
+        layer.self_attn.in_proj_bias.copy_(torch.from_numpy(qkv_w[1]))
+        layer.self_attn.out_proj.weight.copy_(torch.from_numpy(proj_w[0].T))
+        layer.self_attn.out_proj.bias.copy_(torch.from_numpy(proj_w[1]))
+        layer.linear1.weight.copy_(torch.from_numpy(fc1_w[0].T))
+        layer.linear1.bias.copy_(torch.from_numpy(fc1_w[1]))
+        layer.linear2.weight.copy_(torch.from_numpy(fc2_w[0].T))
+        layer.linear2.bias.copy_(torch.from_numpy(fc2_w[1]))
+        layer.norm1.weight.fill_(1.0); layer.norm1.bias.zero_()
+        layer.norm2.weight.fill_(1.0); layer.norm2.bias.zero_()
+    ln_f = torch.nn.LayerNorm(W)
+    head = torch.nn.Linear(W, K)
+    with torch.no_grad():
+        ln_f.weight.fill_(1.0); ln_f.bias.zero_()
+        head.weight.copy_(torch.from_numpy(head_w[0].T))
+        head.bias.copy_(torch.from_numpy(head_w[1]))
+    mask = torch.nn.Transformer.generate_square_subsequent_mask(L)
+    params_t = [*mods[0].parameters(), *mods[1].parameters(),
+                *mods[2].parameters(), *mods[3].parameters(), mods[4],
+                *tok_emb.parameters(), pos_t, *layer.parameters(),
+                *ln_f.parameters(), *head.parameters()]
+    opt = _adam_like(cfg, params_t, cfg.g_lr)
+    t_l = []
+    for k in range(STEPS):
+        xb = torch.from_numpy(xs[k])
+        vq_loss, idx = _torch_vq_loss(mods, xb, L, D, cfg.vq_beta)
+        toks = idx.detach()
+        inp = torch.cat([torch.full((B, 1), K), toks[:, :-1]], 1)
+        h = layer(tok_emb(inp) + pos_t[None], src_mask=mask)
+        ce = F.cross_entropy(head(ln_f(h)).reshape(B * L, K),
+                             toks.reshape(-1))
+        loss = vq_loss + ce
+        opt.zero_grad(); loss.backward(); opt.step()
+        t_l.append(loss.item())
+
+    train_step = step_lib.build_step(spec, cfg)
+    j_l = []
+    for k in range(STEPS):
+        batch = {"image": jnp.asarray(xs[k][None]),
+                 "label": jnp.zeros((1, B), jnp.int32)}
+        state, m_ = train_step(state, batch)
+        j_l.append(float(m_["loss"]))
+    _assert_curves(j_l, t_l)
