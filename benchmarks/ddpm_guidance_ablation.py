@@ -1,14 +1,17 @@
 #!/usr/bin/env python
 """Classifier-free guidance ablation (Ho & Salimans 2021): train ONE
-conditional DDPM, then score samples from the SAME weights at several
+conditional model, then score samples from the SAME weights at several
 guidance scales w — the diffusion analogue of this repo's EMA/spectral
 ablations. eps = (1+w) eps_cond - w eps_null; w=0 is plain conditional
-sampling.
+sampling. `--variant flow` runs the same ablation on the flow-matching
+family (the guided-velocity form, losses/flow.py — the knobs are
+shared by design, and this makes the "the conclusion transfers" claim
+in docs/variants/flow.md a measured row instead of an argument).
 
     python benchmarks/ddpm_guidance_ablation.py [--steps 20000]
-        [--scales 0 1 2 4] [--arch mlp]
+        [--scales 0 1 2 4] [--arch mlp] [--variant ddpm|flow]
 
-Writes benchmarks/ddpm_guidance.json.
+Writes benchmarks/<variant>_guidance.json.
 """
 
 import argparse
@@ -27,6 +30,8 @@ def main():
     ap.add_argument("--arch", default="mlp", choices=("mlp", "conv"))
     ap.add_argument("--scales", nargs="*", type=float,
                     default=[0.0, 1.0, 2.0, 4.0])
+    ap.add_argument("--variant", default="ddpm",
+                    choices=("ddpm", "flow"))
     ap.add_argument("--schedule", default="linear",
                     choices=("linear", "cosine"),
                     help="noise schedule for the one trained model "
@@ -40,7 +45,7 @@ def main():
 
     from generative_models_tpu.config import variant_config
     from generative_models_tpu.data.mnist import load_mnist, to_flat_float
-    from generative_models_tpu.losses.ddpm import sample as ddpm_sample
+    from generative_models_tpu.losses.registry import get_variant
     from generative_models_tpu.train.trainer import Trainer
     from generative_models_tpu.utils.quality import (
         classifier_accuracy,
@@ -55,7 +60,8 @@ def main():
     acc = classifier_accuracy(clf, flat["x_test"], flat["y_test"])
     print(json.dumps({"classifier_test_acc": round(acc, 4)}), flush=True)
 
-    cfg = variant_config("ddpm", arch=args.arch, ddpm_cond=True,
+    spec = get_variant(args.variant)
+    cfg = variant_config(args.variant, arch=args.arch, ddpm_cond=True,
                          scan_steps=args.scan, seed=0,
                          ddpm_schedule=args.schedule)
     t = Trainer(config=cfg, data=raw)
@@ -73,7 +79,7 @@ def main():
     rows = []
     for w in args.scales:
         scfg = cfg.replace(ddpm_guidance=w)
-        samples = ddpm_sample(params, jax.random.PRNGKey(7), args.n, scfg)
+        samples = spec.sample(params, jax.random.PRNGKey(7), args.n, scfg)
         scores = score_samples(clf, samples)
         scores["fid"] = fid_score(clf, real_ref, samples)
         scores["label_match"] = classifier_accuracy(clf, samples, y_cond)
@@ -82,12 +88,12 @@ def main():
         rows.append(row)
         print(json.dumps(row), flush=True)
 
-    out = {"config": {"arch": args.arch, "steps": args.steps,
-                      "schedule": args.schedule,
+    out = {"config": {"variant": args.variant, "arch": args.arch,
+                      "steps": args.steps, "schedule": args.schedule,
                       "n": args.n, "backend_alive": alive},
            "rows": rows}
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "ddpm_guidance.json")
+                        f"{args.variant}_guidance.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print("wrote", path)
