@@ -400,6 +400,11 @@ class Config:
             raise ValueError(
                 "vq_freeze_tokenizer applies to the vqprior variant "
                 f"only, got variant={self.variant!r}")
+        if self.variant == "vqprior" and self.ddpm_guidance > 0.0:
+            raise ValueError(
+                "the AR prior is plain-conditional (ddpm_cond): it has "
+                "no guidance extrapolation — ddpm_guidance applies to "
+                "the ddpm/flow samplers only")
         if self.variant == "fgan":
             # fail fast with a clean message instead of a mid-trace error
             from generative_models_tpu.losses.fgan import get_divergence

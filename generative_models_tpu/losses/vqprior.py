@@ -67,8 +67,9 @@ def loss(params, batch, rng, cfg):
         vparams = jax.lax.stop_gradient(vparams)
     recon, codebook, commit, idx = vqvae_mod._terms(vparams, x, cfg)
     tokens = jax.lax.stop_gradient(idx)                    # [B, L] int
+    y = batch["label"].astype(jnp.int32) if cfg.ddpm_cond else None
     logits = ar_prior.prior_apply(params["prior"], _shift(tokens, cfg),
-                                  cfg)                     # [B, L, K]
+                                  cfg, y)                  # [B, L, K]
     logp = jax.nn.log_softmax(logits, axis=-1)
     ce = -jnp.mean(jnp.take_along_axis(
         logp, tokens[..., None], axis=-1))
@@ -81,13 +82,15 @@ def loss(params, batch, rng, cfg):
                    "perplexity": vq.perplexity(idx, cfg.vq_codebook_size)}
 
 
-def sample_tokens(prior_params, rng, n, cfg):
-    """Ancestral AR sampling of a token grid [n, L] (see module note)."""
+def sample_tokens(prior_params, rng, n, cfg, y=None):
+    """Ancestral AR sampling of a token grid [n, L] (see module note).
+    With cfg.ddpm_cond, y [n] int labels condition every step."""
     l = num_tokens(cfg)
     inv_t = 1.0 / cfg.vq_prior_temp
 
     def body(buf, i):
-        logits = ar_prior.prior_apply(prior_params, _shift(buf, cfg), cfg)
+        logits = ar_prior.prior_apply(prior_params, _shift(buf, cfg),
+                                      cfg, y)
         step = jax.lax.dynamic_slice_in_dim(logits, i, 1, axis=1)[:, 0]
         tok = jax.random.categorical(jax.random.fold_in(rng, i),
                                      step * inv_t)
@@ -101,7 +104,18 @@ def sample_tokens(prior_params, rng, n, cfg):
 
 
 def sample(params, rng, n, cfg):
-    tokens = sample_tokens(params["prior"], rng, n, cfg)
+    y = None
+    if cfg.ddpm_cond:
+        # one column per digit in the sample grid (the CGAN convention)
+        y = jnp.arange(n) % cfg.num_classes
+    tokens = sample_tokens(params["prior"], rng, n, cfg, y)
+    return vqvae_mod.decode_tokens(params["vqvae"], tokens, cfg)
+
+
+def sample_class(params, rng, n, label, cfg):
+    """All-one-class conditional sampling (mirrors losses/ddpm.py)."""
+    y = jnp.full((n,), label, jnp.int32)
+    tokens = sample_tokens(params["prior"], rng, n, cfg, y)
     return vqvae_mod.decode_tokens(params["vqvae"], tokens, cfg)
 
 

@@ -99,8 +99,8 @@ def prior_init(rng, cfg: Config):
     w = cfg.vq_prior_width
     k = cfg.vq_codebook_size
     l = num_tokens(cfg)
-    rt, rp, *rb = jax.random.split(rng, 2 + cfg.vq_prior_layers)
-    return {
+    rt, rp, ry, *rb = jax.random.split(rng, 3 + cfg.vq_prior_layers)
+    p = {
         # K real tokens + one learned BOS (index K)
         "tok": jax.random.normal(rt, (k + 1, w), jnp.float32),
         "pos": jax.random.normal(rp, (l, w), jnp.float32),
@@ -110,16 +110,28 @@ def prior_init(rng, cfg: Config):
         "head": {"w": jnp.zeros((w, k), jnp.float32),
                  "b": jnp.zeros((k,), jnp.float32)},
     }
+    if cfg.ddpm_cond:
+        # class-conditional prior (the CGAN/cond-DDPM story for the
+        # discrete-latent family; the shared ddpm_cond knob — see
+        # losses/flow.py's conditioning note): a learned per-class
+        # embedding added at EVERY position. Plain conditional (no
+        # null token: AR sampling has no guidance extrapolation here).
+        p["label"] = jax.random.normal(
+            ry, (cfg.num_classes, w), jnp.float32)
+    return p
 
 
-def prior_apply(params, tokens_in, cfg: Config):
+def prior_apply(params, tokens_in, cfg: Config, y=None):
     """Next-token logits [B, L, K] for SHIFTED input tokens [B, L]
     (ints in [0, K]; K = BOS). logits[:, i] conditions only on
-    tokens_in[:, : i + 1] (causal)."""
+    tokens_in[:, : i + 1] (causal). With cfg.ddpm_cond, y [B] int
+    labels condition every position."""
     # jnp.take, not fancy-indexing: exported samplers bake params as
     # host numpy constants, which cannot be indexed by tracers
     x = jnp.take(jnp.asarray(params["tok"]), tokens_in, axis=0
                  ) + jnp.asarray(params["pos"])[None]
+    if cfg.ddpm_cond and y is not None:
+        x = x + jnp.take(jnp.asarray(params["label"]), y, axis=0)[:, None]
     for blk in params["blocks"]:
         x = x + _attn(blk, _ln_apply(blk["ln1"], x), cfg)
         h = _lin(blk["fc1"], _ln_apply(blk["ln2"], x), act="gelu")

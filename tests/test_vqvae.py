@@ -236,3 +236,34 @@ def test_sample_tokens_temperature_and_determinism():
     assert t1.shape == (6, num_tokens(cfg))
     assert int(t1.min()) >= 0
     assert int(t1.max()) < cfg.vq_codebook_size
+
+
+def test_conditional_vqprior_trains_and_samples(tiny_data):
+    """Class-conditional prior (the CGAN/cond-DDPM story for the
+    discrete-latent family, shared ddpm_cond knob): trains, the label
+    embedding actually conditions the logits, and sample_class
+    generates per-label grids."""
+    from generative_models_tpu.losses.vqprior import sample_class
+    from generative_models_tpu.models import ar_prior
+
+    cfg = vq_cfg("vqprior", ddpm_cond=True, scan_steps=5)
+    t = Trainer(config=cfg, data=tiny_data)
+    hist = t.train(steps=30, sample_every=-1)
+    assert np.all(np.isfinite(np.asarray(hist["loss"])))
+    assert hist["prior_loss"][-1] < np.log(cfg.vq_codebook_size)
+    # the label changes the prediction (after training, nonzero head)
+    p = t.state["params"]["prior"]
+    toks = jnp.zeros((4, num_tokens(cfg)), jnp.int32)
+    l0 = ar_prior.prior_apply(p, toks, cfg, jnp.zeros((4,), jnp.int32))
+    l1 = ar_prior.prior_apply(p, toks, cfg, jnp.ones((4,), jnp.int32))
+    assert np.abs(np.asarray(l0) - np.asarray(l1)).max() > 0
+    imgs = np.asarray(sample_class(
+        t.state["params"], jax.random.PRNGKey(4), 6, 3, cfg))
+    assert imgs.shape == (6, cfg.image_dim)
+    assert np.isfinite(imgs).all()
+    assert imgs.min() >= 0.0 and imgs.max() <= 1.0
+
+
+def test_vqprior_guidance_refused():
+    with pytest.raises(ValueError, match="no guidance extrapolation"):
+        vq_cfg("vqprior", ddpm_cond=True, ddpm_guidance=2.0)
