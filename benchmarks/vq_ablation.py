@@ -137,6 +137,22 @@ def main():
     winner = min(first, key=lambda r: r["fid"])
     print(json.dumps({"winner": winner}), flush=True)
 
+    # conditional row (the CGAN-story check): joint conditional prior,
+    # scored + label_match (classifier top-1 agreement with the
+    # conditioning label — the ddpm_guidance ablation's diagnostic)
+    ccfg = variant_config("vqprior", arch=args.arch, seed=0,
+                          scan_steps=args.scan, ddpm_cond=True)
+    ct = Trainer(config=ccfg, data=raw)
+    ct.train(steps=args.budget, sample_every=-1)
+    cs = vq_sample(ct.state["params"], jax.random.PRNGKey(7), args.n,
+                   ccfg.replace(vq_prior_temp=winner["temp"]))
+    y_cond = np.arange(args.n) % ccfg.num_classes
+    crow = score(np.asarray(cs), mode="joint_conditional",
+                 temp=winner["temp"], budget=args.budget, seed=0)
+    crow["label_match"] = round(float(
+        classifier_accuracy(clf, np.asarray(cs), y_cond)), 4)
+    print(json.dumps(crow), flush=True)
+
     # seed spread on the winning (mode, temp) config
     seed_rows = [winner]
     for seed in range(1, args.seeds):
