@@ -195,6 +195,14 @@ class Config:
     vq_prior_layers: int = 2
     vq_prior_heads: int = 4
     vq_prior_temp: float = 1.0     # AR sampling temperature
+    # Ancestral-decode implementation: "full" re-runs the whole shifted
+    # buffer through the causal net each step (O(L^2) position-evals,
+    # zero bookkeeping); "cache" decodes incrementally against per-layer
+    # K/V caches (O(L), models/ar_prior.py::prior_apply_step). Same
+    # distribution to fp tolerance (equivalence pinned in tests); the
+    # default follows the measured serving A/B
+    # (benchmarks/vq_decode_ab.json).
+    vq_decode: str = "full"
     # vqprior only: freeze the tokenizer subtree (two-stage training,
     # Oord §3.3 protocol; set by --vq-from). Default False = joint.
     vq_freeze_tokenizer: bool = False
@@ -400,6 +408,10 @@ class Config:
             raise ValueError(
                 "vq_freeze_tokenizer applies to the vqprior variant "
                 f"only, got variant={self.variant!r}")
+        if self.vq_decode not in ("full", "cache"):
+            raise ValueError(
+                f"vq_decode must be 'full' or 'cache', got "
+                f"{self.vq_decode!r}")
         if self.variant == "vqprior" and self.ddpm_guidance > 0.0:
             raise ValueError(
                 "the AR prior is plain-conditional (ddpm_cond): it has "

@@ -84,9 +84,30 @@ def loss(params, batch, rng, cfg):
 
 def sample_tokens(prior_params, rng, n, cfg, y=None):
     """Ancestral AR sampling of a token grid [n, L] (see module note).
-    With cfg.ddpm_cond, y [n] int labels condition every step."""
+    With cfg.ddpm_cond, y [n] int labels condition every step. Decode
+    implementation per `cfg.vq_decode`: "full" (re-run the shifted
+    buffer, O(L^2) position-evals) or "cache" (incremental K/V decode,
+    O(L)) — same sampling distribution to fp tolerance, equivalence
+    pinned in tests/test_vqvae.py."""
     l = num_tokens(cfg)
     inv_t = 1.0 / cfg.vq_prior_temp
+
+    if cfg.vq_decode == "cache":
+        def body(carry, i):
+            buf, kv, prev = carry
+            logits_i, kv = ar_prior.prior_apply_step(
+                prior_params, prev, i, kv, cfg, y)
+            tok = jax.random.categorical(jax.random.fold_in(rng, i),
+                                         logits_i * inv_t)
+            buf = jax.lax.dynamic_update_slice_in_dim(
+                buf, tok[:, None].astype(buf.dtype), i, axis=1)
+            return (buf, kv, tok.astype(jnp.int32)), None
+
+        carry0 = (jnp.zeros((n, l), jnp.int32),
+                  ar_prior.init_kv_cache(n, cfg),
+                  jnp.full((n,), cfg.vq_codebook_size, jnp.int32))  # BOS
+        (buf, _, _), _ = jax.lax.scan(body, carry0, jnp.arange(l))
+        return buf
 
     def body(buf, i):
         logits = ar_prior.prior_apply(prior_params, _shift(buf, cfg),

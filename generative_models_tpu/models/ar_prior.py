@@ -138,3 +138,70 @@ def prior_apply(params, tokens_in, cfg: Config, y=None):
         x = x + _lin(blk["fc2"], h)
     x = _ln_apply(params["ln_f"], x)
     return _lin(params["head"], x)
+
+
+# --------------------------------------------------------------------
+# Incremental (KV-cache) decoding — the serving-path twin
+# --------------------------------------------------------------------
+
+def init_kv_cache(n: int, cfg: Config):
+    """Per-layer key/value caches [layers][B, H, L, hd], zeros."""
+    w = cfg.vq_prior_width
+    nh = cfg.vq_prior_heads
+    l = num_tokens(cfg)
+    shape = (n, nh, l, w // nh)
+    return [{"k": jnp.zeros(shape, jnp.float32),
+             "v": jnp.zeros(shape, jnp.float32)}
+            for _ in range(cfg.vq_prior_layers)]
+
+
+def _lin1(layer, x, act: str = "none"):
+    return fused_linear(x, layer["w"], layer["b"], act=act)
+
+
+def prior_apply_step(params, tok_i, i, kv, cfg: Config, y=None):
+    """One incremental decode step: logits for position i given the
+    input token at i (tok_i [B] int) and the K/V caches of positions
+    < i. Returns (logits_i [B, K], updated kv).
+
+    Same arithmetic as `prior_apply` restricted to row i: per-position
+    ops (LN, linears, MLP) see only row i's activations, and the
+    attention row attends over the cached keys with positions > i
+    masked — so the logits match the full-prefix form to fp tolerance
+    (pinned by tests). Cost per step is O(L) instead of O(L^2):
+    this is the `vq_decode="cache"` serving path; the measured
+    full-vs-cache A/B lives in benchmarks/serving, and the default in
+    config.py follows the measurement."""
+    b = tok_i.shape[0]
+    nh = cfg.vq_prior_heads
+    w = cfg.vq_prior_width
+    hd = w // nh
+    l = kv[0]["k"].shape[2]
+    x = jnp.take(jnp.asarray(params["tok"]), tok_i, axis=0) + (
+        jax.lax.dynamic_slice_in_dim(jnp.asarray(params["pos"]), i, 1,
+                                     axis=0)[0])
+    if cfg.ddpm_cond and y is not None:
+        x = x + jnp.take(jnp.asarray(params["label"]), y, axis=0)
+    new_kv = []
+    for blk, cache in zip(params["blocks"], kv):
+        h = _ln_apply(blk["ln1"], x)
+        qkv = _lin1(blk["qkv"], h)                       # [B, 3W]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, nh, hd)
+        kc = jax.lax.dynamic_update_slice_in_dim(
+            cache["k"], k.reshape(b, nh, 1, hd), i, axis=2)
+        vc = jax.lax.dynamic_update_slice_in_dim(
+            cache["v"], v.reshape(b, nh, 1, hd), i, axis=2)
+        new_kv.append({"k": kc, "v": vc})
+        scores = jnp.einsum("bhd,bhld->bhl", q, kc) / jnp.sqrt(
+            jnp.float32(hd))
+        valid = jnp.arange(l) <= i                        # causal row i
+        scores = jnp.where(valid[None, None, :], scores,
+                           jnp.float32(-1e30))
+        att = jax.nn.softmax(scores, axis=-1)
+        o = jnp.einsum("bhl,bhld->bhd", att, vc).reshape(b, w)
+        x = x + _lin1(blk["proj"], o)
+        hm = _lin1(blk["fc1"], _ln_apply(blk["ln2"], x), act="gelu")
+        x = x + _lin1(blk["fc2"], hm)
+    x = _ln_apply(params["ln_f"], x)
+    return _lin1(params["head"], x), new_kv

@@ -267,3 +267,45 @@ def test_conditional_vqprior_trains_and_samples(tiny_data):
 def test_vqprior_guidance_refused():
     with pytest.raises(ValueError, match="no guidance extrapolation"):
         vq_cfg("vqprior", ddpm_cond=True, ddpm_guidance=2.0)
+
+
+def test_kv_cache_decode_matches_full():
+    """The incremental K/V decoder (vq_decode="cache") is the same
+    arithmetic as the full-prefix form restricted to row i: per-step
+    logits match to fp tolerance on a trained-ish prior, and the
+    sampled token grids are identical under both implementations
+    (same rng chain). Conditional path covered too."""
+    for cond in (False, True):
+        cfg = vq_cfg("vqprior", ddpm_cond=cond)
+        params = VQPRIOR.init_params(jax.random.PRNGKey(0), cfg)
+        # non-zero head so the comparison exercises real logits
+        prior = dict(params["prior"])
+        prior["head"] = {"w": jax.random.normal(
+            jax.random.PRNGKey(1),
+            (cfg.vq_prior_width, cfg.vq_codebook_size)) * 0.2,
+            "b": jnp.zeros((cfg.vq_codebook_size,))}
+        l = num_tokens(cfg)
+        y = (jnp.arange(6) % cfg.num_classes) if cond else None
+
+        # (a) per-position logits: full vs incremental
+        rs = np.random.RandomState(5)
+        toks = jnp.asarray(rs.randint(0, cfg.vq_codebook_size, (6, l)))
+        shifted = jnp.concatenate(
+            [jnp.full((6, 1), cfg.vq_codebook_size, toks.dtype),
+             toks[:, :-1]], axis=1)
+        full = ar_prior.prior_apply(prior, shifted, cfg, y)
+        kv = ar_prior.init_kv_cache(6, cfg)
+        for i in range(l):
+            step, kv = ar_prior.prior_apply_step(
+                prior, shifted[:, i], jnp.int32(i), kv, cfg, y)
+            np.testing.assert_allclose(np.asarray(step),
+                                       np.asarray(full[:, i]),
+                                       rtol=2e-5, atol=2e-6)
+
+        # (b) whole sampled grids agree under the same key
+        t_full = sample_tokens(prior, jax.random.PRNGKey(9), 6,
+                               cfg.replace(vq_decode="full"), y)
+        t_cache = sample_tokens(prior, jax.random.PRNGKey(9), 6,
+                                cfg.replace(vq_decode="cache"), y)
+        np.testing.assert_array_equal(np.asarray(t_full),
+                                      np.asarray(t_cache))
