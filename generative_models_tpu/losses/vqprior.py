@@ -24,12 +24,15 @@ Two training modes behind one loss head, switched by
   prior trains. The CLI's `--vq-from CKPT` loads a trained `vqvae`
   checkpoint into the subtree and sets this flag (train/vq.py).
 
-Sampling: lax.scan over the L token positions; step i runs the full
-shifted buffer through the causal net (static shapes — the mask makes
-positions >= i irrelevant), draws token i at temperature
-`vq_prior_temp`, and writes it back. L <= 49 full-prefix re-evals of a
-tiny transformer per grid — dense MXU work, no KV-cache bookkeeping
-needed at this scale. The grid decodes through the carried vqvae.
+Sampling: lax.scan over the L token positions, drawing token i at
+temperature `vq_prior_temp`. Two decode implementations behind
+`Config.vq_decode`, identical to fp tolerance (pinned): "full" re-runs
+the whole shifted buffer through the causal net each step (static
+shapes; O(L^2) position-evals of a tiny transformer — dense MXU work,
+zero bookkeeping) and "cache" decodes incrementally against per-layer
+K/V caches (O(L), models/ar_prior.py::prior_apply_step). The shipped
+default follows the measured serving A/B (benchmarks/vq_decode_ab.json).
+The grid decodes through the carried vqvae.
 """
 
 from __future__ import annotations
