@@ -23,6 +23,16 @@ Every 2-layer stack in the zoo (G: z->h->784, D: 784->h->1, BEGAN AE,
 VAE decoder) becomes exactly one column/row pair; trunk+head nets
 (VAE encoder, InfoGAN D) shard the trunk column-parallel and each head
 row-parallel off the sharded features.
+
+The causal-transformer prior (models/ar_prior.py, the vqprior variant)
+gets the canonical Megatron block mapping (Shoeybi 2019 §3): qkv and
+fc1 column-parallel, proj and fc2 row-parallel, LayerNorms/embeddings/
+head replicated — one all-reduce per attention block and one per MLP
+block, inserted by GSPMD. Any leaf no rule matches (raw embedding
+tables, codebooks, conv kernels, LayerNorm scales) stays REPLICATED:
+under GSPMD a replicated annotation is always semantically correct, so
+every variant runs under tp>1 — unsharded pieces just don't save
+memory (pinned by tests/test_tp.py::test_tp_single_model_variants).
 """
 
 from __future__ import annotations
@@ -78,19 +88,63 @@ def _list_specs(layers: List[dict], tp: int, parallel_in: bool,
     return specs, parallel_in
 
 
+# Megatron roles inside a pre-LN transformer block (models/ar_prior.py
+# layout): the two column/row pairs of Shoeybi 2019 §3.
+_BLOCK_KEYS = frozenset({"ln1", "qkv", "proj", "ln2", "fc1", "fc2"})
+_BLOCK_ROLE = {"qkv": "col", "fc1": "col", "proj": "row", "fc2": "row"}
+
+
+def _is_layer(x) -> bool:
+    return isinstance(x, dict) and "w" in x
+
+
+def _block_specs(blk: dict, tp: int) -> dict:
+    """Canonical Megatron mapping for one transformer block: qkv/fc1
+    column-parallel, proj/fc2 row-parallel, LayerNorms replicated.
+    Requires the model width to divide tp (3W/4W then divide too);
+    otherwise the whole block stays replicated."""
+    w = blk["qkv"]["w"].shape[0]
+    ok = w % tp == 0
+    out = {}
+    for k, v in blk.items():
+        role = _BLOCK_ROLE.get(k)
+        if role == "col" and ok:
+            out[k] = {"w": P(None, MODEL_AXIS), "b": P(MODEL_AXIS)}
+        elif role == "row" and ok:
+            out[k] = {"w": P(MODEL_AXIS, None), "b": P(None)}
+        elif role:
+            out[k] = {"w": P(None, None), "b": P(None)}
+        else:
+            out[k] = params_pspecs(v, tp)  # LayerNorms: replicated
+    return out
+
+
 def params_pspecs(params: Any, tp: int) -> Any:
     """PartitionSpec pytree matching a variant's parameter pytree.
 
     Handles the shapes in models/nets.py: a bare layer list
     (G/D/AE/decoder), a single layer dict, a {"trunk": [...],
     <head>: layer} dict (VAE encoder, InfoGAN D), and any nesting of
-    those (VAE/BIRVAE bundle encoder+decoder in one dict)."""
+    those (VAE/BIRVAE bundle encoder+decoder in one dict); plus the
+    transformer blocks of models/ar_prior.py (Megatron column/row —
+    see the module docstring) and raw array leaves (embedding tables,
+    codebooks, LayerNorm scales: replicated)."""
+    if hasattr(params, "shape") and hasattr(params, "dtype"):
+        return P()  # raw array leaf: replicated
     if isinstance(params, list):
-        return _list_specs(params, tp, False, final_col_ok=False)[0]
+        if params and all(_is_layer(x) for x in params):
+            return _list_specs(params, tp, False, final_col_ok=False)[0]
+        return [params_pspecs(v, tp) for v in params]
     if isinstance(params, dict) and "w" in params:
+        if getattr(params["w"], "ndim", 2) != 2:
+            # conv kernels [kh, kw, cin, cout] etc.: no Megatron rule,
+            # replicate every leaf of the layer
+            return {k: P() for k in params}
         return _layer_spec(params["w"].shape[0] % tp == 0,
                            params["w"].shape[1] % tp == 0,
                            False, allow_col=False)[0]
+    if isinstance(params, dict) and _BLOCK_KEYS <= params.keys():
+        return _block_specs(params, tp)
     if isinstance(params, dict):
         out = {}
         sharded_h = False
@@ -100,14 +154,14 @@ def params_pspecs(params: Any, tp: int) -> Any:
         for k, v in params.items():
             if k == "trunk":
                 continue
-            if isinstance(v, list):
+            if isinstance(v, list) and v and all(_is_layer(x) for x in v):
                 out[k], _ = _list_specs(v, tp, sharded_h, final_col_ok=False)
-            elif isinstance(v, dict) and "w" in v:
+            elif _is_layer(v) and getattr(v["w"], "ndim", 2) == 2:
                 out[k] = _layer_spec(v["w"].shape[0] % tp == 0,
                                      v["w"].shape[1] % tp == 0,
                                      sharded_h, allow_col=False)[0]
             else:
-                out[k] = params_pspecs(v, tp)  # nested subnet
+                out[k] = params_pspecs(v, tp)  # nested subnet / leaves
         return out
     raise TypeError(f"unrecognized param pytree: {type(params)}")
 
