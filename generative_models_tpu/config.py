@@ -201,8 +201,11 @@ class Config:
     # K/V caches (O(L), models/ar_prior.py::prior_apply_step). Same
     # distribution to fp tolerance (equivalence pinned in tests); the
     # default follows the measured serving A/B
-    # (benchmarks/vq_decode_ab.json).
-    vq_decode: str = "full"
+    # (benchmarks/vq_decode_ab.json): cache wins at EVERY (arch, batch)
+    # measured on the chip — 1.43× at the mlp gallery batch (64) up to
+    # 29× at conv/8192 (the O(L^2) full path's wasted position-evals
+    # never pay, even on an MXU that loves dense matmuls).
+    vq_decode: str = "cache"
     # vqprior only: freeze the tokenizer subtree (two-stage training,
     # Oord §3.3 protocol; set by --vq-from). Default False = joint.
     vq_freeze_tokenizer: bool = False

@@ -31,8 +31,12 @@ the whole shifted buffer through the causal net each step (static
 shapes; O(L^2) position-evals of a tiny transformer — dense MXU work,
 zero bookkeeping) and "cache" decodes incrementally against per-layer
 K/V caches (O(L), models/ar_prior.py::prior_apply_step). The shipped
-default follows the measured serving A/B (benchmarks/vq_decode_ab.json).
-The grid decodes through the carried vqvae.
+default is "cache" per the measured serving A/B
+(benchmarks/vq_decode_ab.json): cache wins at every (arch, batch)
+measured — 1.43× at the mlp gallery batch 64, 7.7×/23.8× at mlp
+1024/8192, and 3.0×–29× on conv, where the full path's O(L^2)
+re-evals of a 49-token buffer never pay. The grid decodes through
+the carried vqvae.
 """
 
 from __future__ import annotations
