@@ -36,6 +36,11 @@ def main():
                     choices=("linear", "cosine"),
                     help="noise schedule for the one trained model "
                          "(rerun at the ddpm_fid_ablation winner)")
+    ap.add_argument("--seeds", type=int, default=3,
+                    help="train one model per seed and score each at "
+                         "every scale; rows carry a seed field and the "
+                         "JSON a per-scale range summary (the repo's "
+                         "headline-claim standard)")
     args = ap.parse_args()
 
     from __graft_entry__ import ensure_live_backend
@@ -61,13 +66,6 @@ def main():
     print(json.dumps({"classifier_test_acc": round(acc, 4)}), flush=True)
 
     spec = get_variant(args.variant)
-    cfg = variant_config(args.variant, arch=args.arch, ddpm_cond=True,
-                         scan_steps=args.scan, seed=0,
-                         ddpm_schedule=args.schedule)
-    t = Trainer(config=cfg, data=raw)
-    t.train(steps=args.steps)
-    params = t.state["ema"]
-
     real_ref = flat["x_test"][:args.n]
     # sample() conditions column-cyclically: y_i = i mod num_classes.
     # label_match = classifier top-1 agreement with that conditioning
@@ -75,23 +73,43 @@ def main():
     # correctly but drags samples off-manifold (FID up, match up)"
     # from a wiring bug (match flat/down while FID rises).
     import numpy as np
-    y_cond = np.arange(args.n) % cfg.num_classes
     rows = []
-    for w in args.scales:
-        scfg = cfg.replace(ddpm_guidance=w)
-        samples = spec.sample(params, jax.random.PRNGKey(7), args.n, scfg)
-        scores = score_samples(clf, samples)
-        scores["fid"] = fid_score(clf, real_ref, samples)
-        scores["label_match"] = classifier_accuracy(clf, samples, y_cond)
-        row = {"guidance": w,
-               **{k: round(float(v), 4) for k, v in scores.items()}}
-        rows.append(row)
-        print(json.dumps(row), flush=True)
+    for seed in range(args.seeds):
+        cfg = variant_config(args.variant, arch=args.arch, ddpm_cond=True,
+                             scan_steps=args.scan, seed=seed,
+                             ddpm_schedule=args.schedule)
+        t = Trainer(config=cfg, data=raw)
+        t.train(steps=args.steps)
+        params = t.state["ema"]
+        y_cond = np.arange(args.n) % cfg.num_classes
+        for w in args.scales:
+            scfg = cfg.replace(ddpm_guidance=w)
+            samples = spec.sample(params, jax.random.PRNGKey(7 + seed),
+                                  args.n, scfg)
+            scores = score_samples(clf, samples)
+            scores["fid"] = fid_score(clf, real_ref, samples)
+            scores["label_match"] = classifier_accuracy(clf, samples,
+                                                        y_cond)
+            row = {"guidance": w, "seed": seed,
+                   **{k: round(float(v), 4) for k, v in scores.items()}}
+            rows.append(row)
+            print(json.dumps(row), flush=True)
 
+    # per-scale seed ranges — what headline claims must quote
+    def _rng(w, key):
+        vals = sorted(r[key] for r in rows if r["guidance"] == w)
+        return [vals[0], vals[-1]]
+
+    ranges = {str(w): {"fid_range": _rng(w, "fid"),
+                       "is_range": _rng(w, "is_score"),
+                       "label_match_range": _rng(w, "label_match")}
+              for w in args.scales}
     out = {"config": {"variant": args.variant, "arch": args.arch,
                       "steps": args.steps, "schedule": args.schedule,
-                      "n": args.n, "backend_alive": alive},
-           "rows": rows}
+                      "n": args.n, "seeds": args.seeds,
+                      "backend_alive": alive},
+           "rows": rows,
+           "ranges_by_scale": ranges}
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         f"{args.variant}_guidance.json")
     with open(path, "w") as f:
