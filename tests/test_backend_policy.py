@@ -124,3 +124,25 @@ def test_trainer_resolves_auto_dtype(tiny_data, monkeypatch):
                                  dtype="float32"),
                  data=tiny_data)
     assert t3.cfg.dtype == "float32"
+
+
+def test_vq_decode_default_follows_measured_ab():
+    """Config.vq_decode's default must equal the committed serving
+    A/B's winner at the gallery batch for BOTH archs — the
+    "defaults follow measurements" rule, made structural (round 5;
+    the round-4 default cited this measurement before it existed)."""
+    import json
+    import os
+
+    from generative_models_tpu.config import Config
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "benchmarks", "vq_decode_ab.json")
+    with open(path) as f:
+        ab = json.load(f)
+    winners = {ab["winner_by_arch_batch"][arch]["64"]
+               for arch in ("mlp", "conv")}
+    assert winners == {Config.vq_decode}, (
+        f"measured winners {winners} != shipped default "
+        f"{Config.vq_decode!r} — re-run benchmarks/vq_decode_ab.py or "
+        f"fix the default")
