@@ -46,12 +46,20 @@ def main() -> int:
                          "stitched from a gallery.py --arch conv run")
     ap.add_argument("--max-frames", type=int, default=40,
                     help="subsample long runs to this many frames (>= 2)")
+    ap.add_argument("--variants", nargs="*", default=None,
+                    help="stitch only these variants (default: every "
+                         "registered variant with frames) — partial "
+                         "gallery runs must not re-stitch other "
+                         "variants' GIFs from stale frames")
     args = ap.parse_args()
     if args.max_frames < 2:
         ap.error("--max-frames must be >= 2")
+    unknown = set(args.variants or ()) - set(VARIANTS)
+    if unknown:
+        ap.error(f"unknown variants: {sorted(unknown)}")
 
     made = []
-    for v in VARIANTS:
+    for v in (args.variants or VARIANTS):
         paths = sorted(glob.glob(os.path.join(args.runs, v, "epoch*.png")))
         if len(paths) < 2:
             print(f"{v}: no epoch frames, skipped")
