@@ -5,9 +5,10 @@ backend at all (SURVEY.md §3.2 callout). The TPU-native scaling story
 is data parallelism over ICI: a 1-D `jax.sharding.Mesh` over the chips,
 batch sharded on the `data` axis, params replicated, gradient
 all-reduce riding XLA's TPU collectives. Tensor parallelism over a 2-D
-(data, model) mesh lives in parallel/tp.py; PP/SP/EP stay out of scope
-(nothing to pipeline/sequence/expert-shard in a 2-layer MNIST MLP —
-docs/design.md §7).
+(data, model) mesh lives in parallel/tp.py; pipeline parallelism over
+the transformer prior's block stack (a 2-D (data, pipe) mesh) in
+parallel/pp.py; SP/EP stay out of scope (no sequence long enough to
+shard, no experts — docs/design.md §7).
 """
 
 from __future__ import annotations
