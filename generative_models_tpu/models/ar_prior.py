@@ -121,23 +121,41 @@ def prior_init(rng, cfg: Config):
     return p
 
 
+def block_apply(blk, x, cfg: Config):
+    """One pre-LN GPT block. THE single definition of the block body —
+    `prior_apply`'s loop and parallel/pp.py's pipelined stages both
+    call this, so the two paths cannot drift."""
+    x = x + _attn(blk, _ln_apply(blk["ln1"], x), cfg)
+    h = _lin(blk["fc1"], _ln_apply(blk["ln2"], x), act="gelu")
+    return x + _lin(blk["fc2"], h)
+
+
+def embed_tokens(params, tokens_in, cfg: Config, y=None):
+    """Shared input embedding: tok + pos (+ per-class label with
+    cfg.ddpm_cond). jnp.take, not fancy-indexing: exported samplers
+    bake params as host numpy constants, which cannot be indexed by
+    tracers."""
+    x = jnp.take(jnp.asarray(params["tok"]), tokens_in, axis=0
+                 ) + jnp.asarray(params["pos"])[None]
+    if cfg.ddpm_cond and y is not None:
+        x = x + jnp.take(jnp.asarray(params["label"]), y, axis=0)[:, None]
+    return x
+
+
+def final_logits(params, x):
+    """Shared epilogue: final LayerNorm + the zero-init head."""
+    return _lin(params["head"], _ln_apply(params["ln_f"], x))
+
+
 def prior_apply(params, tokens_in, cfg: Config, y=None):
     """Next-token logits [B, L, K] for SHIFTED input tokens [B, L]
     (ints in [0, K]; K = BOS). logits[:, i] conditions only on
     tokens_in[:, : i + 1] (causal). With cfg.ddpm_cond, y [B] int
     labels condition every position."""
-    # jnp.take, not fancy-indexing: exported samplers bake params as
-    # host numpy constants, which cannot be indexed by tracers
-    x = jnp.take(jnp.asarray(params["tok"]), tokens_in, axis=0
-                 ) + jnp.asarray(params["pos"])[None]
-    if cfg.ddpm_cond and y is not None:
-        x = x + jnp.take(jnp.asarray(params["label"]), y, axis=0)[:, None]
+    x = embed_tokens(params, tokens_in, cfg, y)
     for blk in params["blocks"]:
-        x = x + _attn(blk, _ln_apply(blk["ln1"], x), cfg)
-        h = _lin(blk["fc1"], _ln_apply(blk["ln2"], x), act="gelu")
-        x = x + _lin(blk["fc2"], h)
-    x = _ln_apply(params["ln_f"], x)
-    return _lin(params["head"], x)
+        x = block_apply(blk, x, cfg)
+    return final_logits(params, x)
 
 
 # --------------------------------------------------------------------

@@ -82,13 +82,10 @@ def stack_blocks(blocks) -> Any:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
 
 
-def _block_apply(blk, x, cfg: Config):
-    """One pre-LN GPT block — the EXACT per-block ops of
-    ar_prior.prior_apply's loop body (imported, not copied)."""
-    x = x + ar_prior._attn(blk, ar_prior._ln_apply(blk["ln1"], x), cfg)
-    h = ar_prior._lin(blk["fc1"], ar_prior._ln_apply(blk["ln2"], x),
-                      act="gelu")
-    return x + ar_prior._lin(blk["fc2"], h)
+# the block body, input embedding, and ln_f/head epilogue are the
+# SAME functions prior_apply composes (ar_prior.block_apply /
+# embed_tokens / final_logits) — one definition, no drift possible
+_block_apply = ar_prior.block_apply
 
 
 def _pipeline_blocks(stacked, xm, cfg: Config, mesh: Mesh, n_micro: int):
@@ -169,10 +166,7 @@ def prior_apply_pp(params, tokens_in, cfg: Config, mesh: Mesh,
         raise ValueError(
             f"microbatch {b // n_micro} not divisible by "
             f"data={mesh.shape[DATA_AXIS]}")
-    x = jnp.take(jnp.asarray(params["tok"]), tokens_in, axis=0
-                 ) + jnp.asarray(params["pos"])[None]
-    if cfg.ddpm_cond and y is not None:
-        x = x + jnp.take(jnp.asarray(params["label"]), y, axis=0)[:, None]
+    x = ar_prior.embed_tokens(params, tokens_in, cfg, y)
     blocks = params["blocks"]
     # accept both layouts: the repo-wide list of per-block pytrees, or
     # an already-stacked pytree (build_pp_prior_step keeps blocks
@@ -180,9 +174,7 @@ def prior_apply_pp(params, tokens_in, cfg: Config, mesh: Mesh,
     stacked = stack_blocks(blocks) if isinstance(blocks, list) else blocks
     xm = x.reshape(n_micro, b // n_micro, l, -1)
     h = _pipeline_blocks(stacked, xm, cfg, mesh, n_micro)
-    h = h.reshape(b, l, -1)
-    h = ar_prior._ln_apply(params["ln_f"], h)
-    return ar_prior._lin(params["head"], h)
+    return ar_prior.final_logits(params, h.reshape(b, l, -1))
 
 
 def prior_ce_pp(params, tokens, cfg: Config, mesh: Mesh, n_micro: int,

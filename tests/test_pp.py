@@ -55,16 +55,19 @@ def _ce_ref(params, tokens, cfg, y=None):
 @pytest.mark.parametrize("dp,stages,n_micro", [(2, 4, 4), (1, 4, 8),
                                                (1, 2, 1), (4, 2, 2)])
 def test_pp_logits_match_single_device(dp, stages, n_micro):
-    """Pipelined forward == prior_apply for every (dp, stages, micro)
-    split, including the n_micro=1 (pure model-split) edge."""
+    """Pipelined forward == prior_apply BIT-EXACTLY for every
+    (dp, stages, micro) split, including the n_micro=1 (pure
+    model-split) edge — every op is batch-row independent and the
+    schedule reorders nothing, so there is no fp tolerance to grant
+    (measured max abs diff 0.0 on all four splits; this pin is what
+    the docs' bit-exact claim rests on)."""
     cfg = _tiny_cfg()
     params, tokens = _setup(cfg)
     tin = _shift(tokens, cfg)
     ref = ar_prior.prior_apply(params, tin, cfg)
     out = pp.prior_apply_pp(params, tin, cfg, _cpu_mesh(dp, stages),
                             n_micro=n_micro)
-    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
-                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
 
 
 def test_pp_logits_match_conditional():
