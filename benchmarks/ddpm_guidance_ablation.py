@@ -41,6 +41,15 @@ def main():
                          "every scale; rows carry a seed field and the "
                          "JSON a per-scale range summary (the repo's "
                          "headline-claim standard)")
+    ap.add_argument("--seed-base", type=int, default=0,
+                    help="first seed (with --merge, lets each seed run "
+                         "as its own chip-queue job so a flapping "
+                         "tunnel banks completed seeds instead of "
+                         "restarting the whole ablation)")
+    ap.add_argument("--merge", action="store_true",
+                    help="merge rows into an existing output JSON "
+                         "(replacing rows for the seeds being rerun) "
+                         "and recompute the ranges over all rows")
     args = ap.parse_args()
 
     from __graft_entry__ import ensure_live_backend
@@ -74,7 +83,7 @@ def main():
     # from a wiring bug (match flat/down while FID rises).
     import numpy as np
     rows = []
-    for seed in range(args.seeds):
+    for seed in range(args.seed_base, args.seed_base + args.seeds):
         cfg = variant_config(args.variant, arch=args.arch, ddpm_cond=True,
                              scan_steps=args.scan, seed=seed,
                              ddpm_schedule=args.schedule)
@@ -95,6 +104,15 @@ def main():
             rows.append(row)
             print(json.dumps(row), flush=True)
 
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        f"{args.variant}_guidance.json")
+    if args.merge and os.path.exists(path):
+        with open(path) as f:
+            old = json.load(f)
+        fresh = {r["seed"] for r in rows}
+        rows = [r for r in old.get("rows", [])
+                if r["seed"] not in fresh] + rows
+
     # per-scale seed ranges — what headline claims must quote
     def _rng(w, key):
         vals = sorted(r[key] for r in rows if r["guidance"] == w)
@@ -106,12 +124,11 @@ def main():
               for w in args.scales}
     out = {"config": {"variant": args.variant, "arch": args.arch,
                       "steps": args.steps, "schedule": args.schedule,
-                      "n": args.n, "seeds": args.seeds,
+                      "n": args.n,
+                      "seeds": len({r["seed"] for r in rows}),
                       "backend_alive": alive},
            "rows": rows,
            "ranges_by_scale": ranges}
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        f"{args.variant}_guidance.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print("wrote", path)
