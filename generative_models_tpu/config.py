@@ -538,6 +538,10 @@ def resolve_dtype(cfg: "Config", platform: str) -> str:
     return "float32"
 
 
+# The measured conditional-flow guidance winner (see variant_config).
+FLOW_GUIDANCE_DEFAULT = 0.3
+
+
 def variant_config(variant: str, **overrides) -> Config:
     """Config for `variant` with its registry defaults applied, then
     arch-conditional defaults (CONV_VARIANT_OVERRIDES), then user
@@ -550,4 +554,14 @@ def variant_config(variant: str, **overrides) -> Config:
     if overrides.get("arch") == "conv":
         kw.update(CONV_VARIANT_OVERRIDES.get(variant, {}))
     kw.update(overrides)
+    # Measured guidance default (round 5, benchmarks/flow_guidance.json):
+    # conditional FLOW's guided sampler has a real sweet spot — w=0.3
+    # improves FID/IS/label_match over w=0 in every seed (FID 0.33-0.38,
+    # the lowest measured in the zoo). The SAME ablation on DDPM
+    # measured the opposite (ddpm_guidance.json: monotone degradation,
+    # conditioning already saturated), so ddpm keeps 0. Guidance is a
+    # sampling-only knob; an explicit --ddpm-guidance always wins.
+    if (variant == "flow" and kw.get("ddpm_cond")
+            and "ddpm_guidance" not in overrides):
+        kw["ddpm_guidance"] = FLOW_GUIDANCE_DEFAULT
     return Config(**kw)

@@ -146,3 +146,36 @@ def test_vq_decode_default_follows_measured_ab():
         f"measured winners {winners} != shipped default "
         f"{Config.vq_decode!r} — re-run benchmarks/vq_decode_ab.py or "
         f"fix the default")
+
+
+def test_flow_guidance_default_follows_measured_ablation():
+    """Conditional flow's default guidance must equal the committed
+    ablation's FID winner, and DDPM must keep 0 (its own ablation
+    measured monotone degradation) — the "defaults follow
+    measurements" rule for the round-5 guidance findings."""
+    import json
+    import os
+
+    from generative_models_tpu.config import (
+        FLOW_GUIDANCE_DEFAULT, variant_config,
+    )
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "benchmarks", "flow_guidance.json")
+    with open(path) as f:
+        ab = json.load(f)
+    # winner = scale with the best (lowest) worst-seed FID
+    winner = min(ab["ranges_by_scale"].items(),
+                 key=lambda kv: kv[1]["fid_range"][1])[0]
+    assert float(winner) == FLOW_GUIDANCE_DEFAULT, (
+        f"measured winner w={winner} != shipped default "
+        f"{FLOW_GUIDANCE_DEFAULT} — re-run the flow guidance ablation "
+        f"or fix the default")
+    assert variant_config(
+        "flow", ddpm_cond=True).ddpm_guidance == FLOW_GUIDANCE_DEFAULT
+    # explicit user pin always wins; unconditional flow has no guidance
+    assert variant_config("flow", ddpm_cond=True,
+                          ddpm_guidance=0.0).ddpm_guidance == 0.0
+    assert variant_config("flow").ddpm_guidance == 0.0
+    # ddpm's own ablation measured the opposite: default stays 0
+    assert variant_config("ddpm", ddpm_cond=True).ddpm_guidance == 0.0

@@ -200,18 +200,28 @@ def test_cond_guided_wiring(tiny_data):
     w > 0); guided sampling is finite and label-sensitive."""
     from generative_models_tpu.train.trainer import Trainer
 
+    from generative_models_tpu.config import FLOW_GUIDANCE_DEFAULT
+
     cfg = tiny_cfg("flow", ddpm_cond=True, scan_steps=5)
+    # conditional flow defaults to the MEASURED guidance winner
+    # (config.variant_config, benchmarks/flow_guidance.json)
+    assert cfg.ddpm_guidance == FLOW_GUIDANCE_DEFAULT
     t = Trainer(config=cfg, data=tiny_data)
     t.train(steps=10, sample_every=-1)
     params = t.state["ema"]
     rng = jax.random.PRNGKey(3)
-    a = np.asarray(sample(params, rng, 8, cfg))
+    cfg0 = cfg.replace(ddpm_guidance=0.0)
+    a = np.asarray(sample(params, rng, 8, cfg0))
     b = np.asarray(sample(params, rng, 8,
-                          cfg.replace(ddpm_guidance=0.0)))
-    np.testing.assert_array_equal(a, b)
+                          tiny_cfg("flow", ddpm_cond=True, scan_steps=5,
+                                   ddpm_guidance=0.0)))
+    np.testing.assert_array_equal(a, b)  # explicit w=0 pin == w=0
     g = np.asarray(sample(params, rng, 8, cfg.replace(ddpm_guidance=2.0)))
     assert np.isfinite(g).all()
     assert np.abs(g - a).max() > 0
+    # the default-guided sampler engages the guided branch
+    d = np.asarray(sample(params, rng, 8, cfg))
+    assert np.abs(d - a).max() > 0
     # sample_class conditions every row on one label
     c0 = np.asarray(sample_class(params, rng, 8, 0, cfg))
     c1 = np.asarray(sample_class(params, rng, 8, 1, cfg))
