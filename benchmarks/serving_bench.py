@@ -78,6 +78,15 @@ def main():
     # ddpm/flow only: sweep the reverse-chain / ODE length (the
     # inference-cost dial); each entry is one row
     ap.add_argument("--sample-steps", nargs="*", type=int, default=[None])
+    ap.add_argument("--cond", action="store_true",
+                    help="class-conditional sampling (ddpm_cond; the "
+                         "sample grid's column-cyclic labels)")
+    ap.add_argument("--guidance", nargs="*", type=float, default=[None],
+                    help="guidance scales to sweep (each is one row; "
+                         "None = the variant's measured default — for "
+                         "conditional flow that is w=0.3, whose guided "
+                         "2n-row net call is the serving cost this "
+                         "sweep exists to measure)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -88,16 +97,26 @@ def main():
     for arch in args.arch:
         for n in args.batches:
             for ss in args.sample_steps:
-                ss_field = ("flow_sample_steps" if args.variant == "flow"
-                            else "ddpm_sample_steps")
-                over = {} if ss is None else {ss_field: ss}
-                ips = bench_sampler(args.variant, arch, n,
-                                    reps=args.reps, **over)
-                row = {"variant": args.variant, "arch": arch, "batch": n,
-                       **({"sample_steps": ss} if ss is not None else {}),
-                       "images_per_sec": round(ips, 1)}
-                rows.append(row)
-                print(json.dumps(row), flush=True)
+                for w in args.guidance:
+                    ss_field = ("flow_sample_steps"
+                                if args.variant == "flow"
+                                else "ddpm_sample_steps")
+                    over = {} if ss is None else {ss_field: ss}
+                    if args.cond:
+                        over["ddpm_cond"] = True
+                    if w is not None:
+                        over["ddpm_guidance"] = w
+                    ips = bench_sampler(args.variant, arch, n,
+                                        reps=args.reps, **over)
+                    row = {"variant": args.variant, "arch": arch,
+                           "batch": n,
+                           **({"sample_steps": ss} if ss is not None
+                              else {}),
+                           **({"cond": True} if args.cond else {}),
+                           **({"guidance": w} if w is not None else {}),
+                           "images_per_sec": round(ips, 1)}
+                    rows.append(row)
+                    print(json.dumps(row), flush=True)
 
     out = args.out or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "serving_results.json")
