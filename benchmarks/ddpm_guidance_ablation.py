@@ -109,19 +109,26 @@ def main():
     if args.merge and os.path.exists(path):
         with open(path) as f:
             old = json.load(f)
-        fresh = {r["seed"] for r in rows}
+        # replacement keys on (seed, scale) so a partial-scale rerun
+        # updates only the cells it measured; legacy rows with no seed
+        # field (the pre-round-5 format) are superseded and dropped
+        fresh = {(r["seed"], r["guidance"]) for r in rows}
         rows = [r for r in old.get("rows", [])
-                if r["seed"] not in fresh] + rows
+                if "seed" in r
+                and (r["seed"], r["guidance"]) not in fresh] + rows
 
-    # per-scale seed ranges — what headline claims must quote
+    # per-scale seed ranges over every scale PRESENT in the merged
+    # rows (not just this invocation's --scales) — what headline
+    # claims must quote
     def _rng(w, key):
         vals = sorted(r[key] for r in rows if r["guidance"] == w)
         return [vals[0], vals[-1]]
 
+    all_scales = sorted({r["guidance"] for r in rows})
     ranges = {str(w): {"fid_range": _rng(w, "fid"),
                        "is_range": _rng(w, "is_score"),
                        "label_match_range": _rng(w, "label_match")}
-              for w in args.scales}
+              for w in all_scales}
     out = {"config": {"variant": args.variant, "arch": args.arch,
                       "steps": args.steps, "schedule": args.schedule,
                       "n": args.n,

@@ -63,7 +63,7 @@ def bench_sampler(variant, arch, n, reps=64, **cfg_over):
     t0 = time.perf_counter()
     float(many(jax.random.PRNGKey(2)))   # value fetch fences the run
     dt = time.perf_counter() - t0
-    return reps * n / dt
+    return reps * n / dt, cfg
 
 
 def main():
@@ -106,14 +106,19 @@ def main():
                         over["ddpm_cond"] = True
                     if w is not None:
                         over["ddpm_guidance"] = w
-                    ips = bench_sampler(args.variant, arch, n,
-                                        reps=args.reps, **over)
+                    ips, cfg = bench_sampler(args.variant, arch, n,
+                                             reps=args.reps, **over)
+                    # record the EFFECTIVE guidance (w=None can resolve
+                    # to a measured default, e.g. conditional flow's
+                    # 0.3 — a ~2x serving cost that must not be
+                    # indistinguishable from an unguided row)
                     row = {"variant": args.variant, "arch": arch,
                            "batch": n,
                            **({"sample_steps": ss} if ss is not None
                               else {}),
-                           **({"cond": True} if args.cond else {}),
-                           **({"guidance": w} if w is not None else {}),
+                           **({"cond": True,
+                               "guidance": cfg.ddpm_guidance}
+                              if args.cond else {}),
                            "images_per_sec": round(ips, 1)}
                     rows.append(row)
                     print(json.dumps(row), flush=True)

@@ -167,8 +167,15 @@ def main():
         with open(out_path) as f:
             out = json.load(f)
         rows.extend(out["rows"])
-        temp = next(r["temp"] for r in rows
-                    if r["mode"] == "joint_conditional")
+        cond_temps = [r["temp"] for r in rows
+                      if r["mode"] == "joint_conditional"]
+        if not cond_temps:
+            raise SystemExit(
+                "--conditional-only needs an existing joint_conditional "
+                "row in vq_ablation.json to reuse its temperature; run "
+                "the full ablation first (refuse-with-reason, not a "
+                "bare StopIteration after the classifier preamble)")
+        temp = cond_temps[0]
         have = {r["seed"] for r in rows
                 if r["mode"] == "joint_conditional"}
         for seed in range(args.seeds):

@@ -11,9 +11,8 @@ docs/gallery/vqprior_conditional.png.
 
 import argparse
 import os
-import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from panel_lib import train_and_save_grids
 
 
 def main():
@@ -23,30 +22,11 @@ def main():
     ap.add_argument("--out-dir", default=os.path.join("docs", "gallery"))
     args = ap.parse_args()
 
-    from __graft_entry__ import ensure_live_backend
-    ensure_live_backend()
-
-    import jax
-    import numpy as np
-
-    from generative_models_tpu.config import variant_config
-    from generative_models_tpu.data.mnist import load_mnist
-    from generative_models_tpu.losses.registry import get_variant
-    from generative_models_tpu.train.trainer import Trainer
-    from generative_models_tpu.utils.viz import save_image_grid
-
-    raw = load_mnist(allow_synthetic=True, synthetic_sizes=(12000, 2000))
-    cfg = variant_config("vqprior", arch="conv", ddpm_cond=True,
-                         scan_steps=args.scan, seed=0)
-    spec = get_variant("vqprior")
-    t = Trainer(config=cfg, data=raw)
-    t.train(steps=args.steps)
-
-    os.makedirs(args.out_dir, exist_ok=True)
-    imgs = spec.sample(t.state["params"], jax.random.PRNGKey(7), 64, cfg)
-    p = os.path.join(args.out_dir, "vqprior_conditional.png")
-    save_image_grid(p, np.asarray(imgs))
-    print("wrote", p, flush=True)
+    train_and_save_grids(
+        "vqprior", {"arch": "conv", "ddpm_cond": True},
+        [("vqprior_conditional.png", None)],
+        steps=args.steps, scan=args.scan, out_dir=args.out_dir,
+        use_ema=False)
 
 
 if __name__ == "__main__":

@@ -561,7 +561,11 @@ def variant_config(variant: str, **overrides) -> Config:
     # measured the opposite (ddpm_guidance.json: monotone degradation,
     # conditioning already saturated), so ddpm keeps 0. Guidance is a
     # sampling-only knob; an explicit --ddpm-guidance always wins.
-    if (variant == "flow" and kw.get("ddpm_cond")
+    # Guarded on label dropout: with ddpm_label_drop=0 the null token
+    # is never trained, so guided extrapolation would mix in a
+    # random-init null branch — only w=0 is correct there.
+    cfg = Config(**kw)
+    if (variant == "flow" and cfg.ddpm_cond and cfg.ddpm_label_drop > 0
             and "ddpm_guidance" not in overrides):
-        kw["ddpm_guidance"] = FLOW_GUIDANCE_DEFAULT
-    return Config(**kw)
+        cfg = cfg.replace(ddpm_guidance=FLOW_GUIDANCE_DEFAULT)
+    return cfg

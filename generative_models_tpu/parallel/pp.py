@@ -197,8 +197,12 @@ def build_pp_prior_step(cfg: Config, mesh: Mesh, n_micro: int,
     protocol): (params, opt_state, tokens [B, L], y) ->
     (params, opt_state, loss). Batch sharded over ``data``, stacked
     blocks over ``pipe`` (the jit in/out shardings keep the layer
-    stack resident per-stage across dispatches)."""
-    tx = optax.adam(cfg.g_lr if lr is None else lr)
+    stack resident per-stage across dispatches). The optimizer comes
+    from cfg (train/optim.make_tx — same betas/eps/choice as every
+    other training path), so a PP trajectory matches the Trainer's
+    for the same config."""
+    from generative_models_tpu.train.optim import make_tx
+    tx = make_tx(cfg, cfg.g_lr if lr is None else lr)
 
     rep = NamedSharding(mesh, P())
     dat = NamedSharding(mesh, P(DATA_AXIS))

@@ -177,5 +177,9 @@ def test_flow_guidance_default_follows_measured_ablation():
     assert variant_config("flow", ddpm_cond=True,
                           ddpm_guidance=0.0).ddpm_guidance == 0.0
     assert variant_config("flow").ddpm_guidance == 0.0
+    # with label dropout disabled the null token is never trained, so
+    # guided extrapolation would mix a random-init branch: default 0
+    assert variant_config("flow", ddpm_cond=True,
+                          ddpm_label_drop=0.0).ddpm_guidance == 0.0
     # ddpm's own ablation measured the opposite: default stays 0
     assert variant_config("ddpm", ddpm_cond=True).ddpm_guidance == 0.0

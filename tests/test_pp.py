@@ -104,6 +104,8 @@ def test_pp_train_step_matches_single_device():
     head convention survives the pipeline)."""
     import optax
 
+    from generative_models_tpu.train.optim import make_tx
+
     cfg = _tiny_cfg()
     params, tokens = _setup(cfg)
     mesh = _cpu_mesh(2, 4)
@@ -111,7 +113,7 @@ def test_pp_train_step_matches_single_device():
     jitted, p, opt, tok, y = pp.build_pp_prior_step(
         cfg, mesh, n_micro=4)(params, tokens, None)
 
-    tx = optax.adam(cfg.g_lr)
+    tx = make_tx(cfg, cfg.g_lr)  # the cfg optimizer the PP step uses
     p_ref, opt_ref = params, tx.init(params)
 
     @jax.jit
