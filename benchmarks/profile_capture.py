@@ -128,7 +128,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scan", type=int, default=2000)
     ap.add_argument("--conv-scan", type=int, default=400)
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="capture only these tags and MERGE them into "
+                         "the existing profile_summary.json (other "
+                         "rows keep their committed same-session "
+                         "numbers instead of being re-measured on a "
+                         "possibly-different tunnel host)")
     args = ap.parse_args()
+
+    def wanted(tag):
+        return args.only is None or tag in args.only
 
     from __graft_entry__ import ensure_live_backend
     alive = ensure_live_backend()
@@ -143,39 +152,43 @@ def main():
     data = load_mnist(allow_synthetic=True, synthetic_sizes=(12000, 1000))
     head = dict(batch_size=100, hidden_dim=400, z_dim=128, seed=0)
 
-    results = {}
-    results["mlp_xla"] = capture(
-        "mlp_xla", args.scan, lambda: Trainer(config=variant_config(
+    # One entry per profile row; --only restricts to a subset (merged
+    # into the committed summary). The HEADLINE configs exist per
+    # round-3 VERDICT weak #5 (the README's scan-16000 XLA + rbg and
+    # the driver-record scan-8000 fused + rbg get measured busy
+    # fractions); ddpm_xla is the measured corroboration for the
+    # fused-kernel exclusion (ops/pallas_train.py scope note);
+    # vqprior_xla (round 5) profiles the newest family — joint
+    # tokenizer + causal transformer on the default XLA path.
+    captures = {
+        "mlp_xla": (args.scan, lambda: Trainer(config=variant_config(
             "nsgan", scan_steps=args.scan, fused_step=False, **head),
-            data=data))
-    results["mlp_fused"] = capture(
-        "mlp_fused", args.scan, lambda: Trainer(config=variant_config(
+            data=data)),
+        "mlp_fused": (args.scan, lambda: Trainer(config=variant_config(
             "nsgan", scan_steps=args.scan, fused_step=True, **head),
-            data=data))
-    results["conv_xla"] = capture(
-        "conv_xla", args.conv_scan, lambda: Trainer(config=variant_config(
-            "nsgan", arch="conv", scan_steps=args.conv_scan, **head),
-            data=data))
-    # The HEADLINE configs (round-3 VERDICT weak #5: the committed
-    # captures stopped at scan 2000; the README's numbers are scan
-    # 16000 XLA + rbg and the driver-record scan 8000 fused + rbg —
-    # this puts a measured busy fraction under both).
-    results["mlp_xla_headline"] = capture(
-        "mlp_xla_headline", 16000, lambda: Trainer(config=variant_config(
-            "nsgan", scan_steps=16000, fused_step=False, prng_impl="rbg",
-            adam_b1=0.9, **head), data=data))
-    results["mlp_fused_headline"] = capture(
-        "mlp_fused_headline", 8000, lambda: Trainer(config=variant_config(
-            "nsgan", scan_steps=8000, fused_step=True, prng_impl="rbg",
-            adam_b1=0.9, **head), data=data))
-    # DDPM on its default XLA path — the measured corroboration for the
-    # fused-kernel exclusion (ops/pallas_train.py scope note): one loss,
-    # one optimizer, single-dispatch scan; the per-step state traffic
-    # its VMEM-oversized Adam state would still pay in a kernel shows up
-    # here as the optimizer fusion's share.
-    results["ddpm_xla"] = capture(
-        "ddpm_xla", args.scan, lambda: Trainer(config=variant_config(
-            "ddpm", scan_steps=args.scan, seed=0), data=data))
+            data=data)),
+        "conv_xla": (args.conv_scan, lambda: Trainer(
+            config=variant_config(
+                "nsgan", arch="conv", scan_steps=args.conv_scan, **head),
+            data=data)),
+        "mlp_xla_headline": (16000, lambda: Trainer(
+            config=variant_config(
+                "nsgan", scan_steps=16000, fused_step=False,
+                prng_impl="rbg", adam_b1=0.9, **head), data=data)),
+        "mlp_fused_headline": (8000, lambda: Trainer(
+            config=variant_config(
+                "nsgan", scan_steps=8000, fused_step=True,
+                prng_impl="rbg", adam_b1=0.9, **head), data=data)),
+        "ddpm_xla": (args.scan, lambda: Trainer(config=variant_config(
+            "ddpm", scan_steps=args.scan, seed=0), data=data)),
+        "vqprior_xla": (args.scan, lambda: Trainer(
+            config=variant_config(
+                "vqprior", scan_steps=args.scan, seed=0), data=data)),
+    }
+    results = {}
+    for tag, (scan, mk) in captures.items():
+        if wanted(tag):
+            results[tag] = capture(tag, scan, mk)
 
     # ---- derived claims -------------------------------------------
     # Adam/state HBM traffic per XLA step: params+mu+nu read AND
@@ -214,6 +227,11 @@ def main():
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "profile_summary.json")
+    if args.only is not None and os.path.exists(path):
+        with open(path) as f:
+            merged = json.load(f)
+        merged.update(results)
+        results = merged
     with open(path, "w") as f:
         json.dump(results, f, indent=1)
     print("wrote", path)
