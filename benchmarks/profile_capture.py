@@ -184,6 +184,10 @@ def main():
         "vqprior_xla": (args.scan, lambda: Trainer(
             config=variant_config(
                 "vqprior", scan_steps=args.scan, seed=0), data=data)),
+        "flow_xla": (args.scan, lambda: Trainer(config=variant_config(
+            "flow", scan_steps=args.scan, seed=0), data=data)),
+        "vqvae_xla": (args.scan, lambda: Trainer(config=variant_config(
+            "vqvae", scan_steps=args.scan, seed=0), data=data)),
     }
     results = {}
     for tag, (scan, mk) in captures.items():
