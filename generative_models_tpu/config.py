@@ -381,6 +381,14 @@ class Config:
             raise ValueError(
                 "ddpm_guidance requires ddpm_cond=True (guidance mixes "
                 "the conditional and null-token predictions)")
+        if self.ddpm_guidance > 0.0 and self.ddpm_label_drop <= 0.0:
+            raise ValueError(
+                "ddpm_guidance > 0 requires ddpm_label_drop > 0: with "
+                "label dropout disabled the null token is never trained, "
+                "so guided extrapolation would mix a random-init null "
+                "branch into every sample (label_drop is a TRAINING-time "
+                "knob — keep its default when sampling a model that "
+                "trained with it)")
         if self.flow_reflow:
             if self.variant != "flow":
                 raise ValueError(

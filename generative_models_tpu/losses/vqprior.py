@@ -67,6 +67,16 @@ def _shift(tokens, cfg):
     return jnp.concatenate([bos, tokens[:, :-1]], axis=1)
 
 
+def prior_ce(logits, tokens):
+    """Teacher-forced next-token cross-entropy (mean over batch x
+    positions) — THE prior objective, defined once; `loss` below and
+    parallel/pp.py's pipelined twin both call this, so the objectives
+    cannot drift."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.mean(jnp.take_along_axis(logp, tokens[..., None],
+                                         axis=-1))
+
+
 def loss(params, batch, rng, cfg):
     x = batch["image"]
     vparams = params["vqvae"]
@@ -77,9 +87,7 @@ def loss(params, batch, rng, cfg):
     y = batch["label"].astype(jnp.int32) if cfg.ddpm_cond else None
     logits = ar_prior.prior_apply(params["prior"], _shift(tokens, cfg),
                                   cfg, y)                  # [B, L, K]
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    ce = -jnp.mean(jnp.take_along_axis(
-        logp, tokens[..., None], axis=-1))
+    ce = prior_ce(logits, tokens)
     if cfg.vq_freeze_tokenizer:
         total = ce  # the vqvae terms are constants (frozen subtree)
     else:

@@ -42,10 +42,19 @@ def replicated(mesh: jax.sharding.Mesh):
     return NamedSharding(mesh, P())
 
 
-try:
-    from jax import shard_map as _shard_map  # jax >= 0.7 public API
-except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map as _shard_map
+from generative_models_tpu.parallel.mesh import shard_map_nocheck
+
+
+def _shard_map(f, mesh, in_specs, out_specs, check_vma=False):
+    """Version-correct no-check shard_map (parallel/mesh.py shim): the
+    jax>=0.7 public API takes check_vma=, the experimental fallback
+    takes check_rep= — the shim binds the right kwarg per branch, so
+    this module (and ops/pallas_dp.py, which imports this name) cannot
+    crash on the fallback path. The check_vma arg is accepted for
+    call-site compatibility; both branches disable the check."""
+    del check_vma
+    return shard_map_nocheck(f, mesh, in_specs=in_specs,
+                             out_specs=out_specs)
 
 
 def make_gather_local(cfg, nb: int, steps_per_epoch: int, n_dev: int):

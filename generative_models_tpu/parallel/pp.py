@@ -51,29 +51,21 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-try:
-    from jax import shard_map  # jax >= 0.7 public API
-except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map
-
 from generative_models_tpu.config import Config
 from generative_models_tpu.models import ar_prior
-from generative_models_tpu.parallel.mesh import DATA_AXIS
+from generative_models_tpu.parallel.mesh import (
+    DATA_AXIS, make_mesh_2axis, shard_map_nocheck,
+)
 
 PIPE_AXIS = "pipe"
 
 
 def make_mesh_pp(dp: int, pp: int, devices=None) -> Mesh:
     """2-D mesh: ``dp * pp`` devices as axes ("data", "pipe")."""
-    devs = list(devices if devices is not None else jax.devices())
-    need = dp * pp
-    if need > len(devs):
-        raise ValueError(f"dp*pp={need} but only {len(devs)} devices")
-    return Mesh(np.array(devs[:need]).reshape(dp, pp), (DATA_AXIS, PIPE_AXIS))
+    return make_mesh_2axis(dp, pp, PIPE_AXIS, devices)
 
 
 def stack_blocks(blocks) -> Any:
@@ -139,11 +131,10 @@ def _pipeline_blocks(stacked, xm, cfg: Config, mesh: Mesh, n_micro: int):
                          jnp.zeros_like(outs))
         return jax.lax.psum(outs, PIPE_AXIS)
 
-    return shard_map(
-        shard_fn, mesh=mesh,
+    return shard_map_nocheck(
+        shard_fn, mesh,
         in_specs=(P(PIPE_AXIS), P(None, DATA_AXIS)),
         out_specs=P(None, DATA_AXIS),
-        check_vma=False,
     )(stacked, xm)
 
 
@@ -182,13 +173,12 @@ def prior_ce_pp(params, tokens, cfg: Config, mesh: Mesh, n_micro: int,
     """Teacher-forced next-token cross-entropy of the prior over token
     grids [B, L] — the two-stage objective of losses/vqprior.py
     (`vq_freeze_tokenizer=True` path: the tokenizer is frozen, the
-    prior IS the trained model), with the forward pipelined."""
-    from generative_models_tpu.losses.vqprior import _shift
+    prior IS the trained model), with the forward pipelined. The CE
+    itself is losses/vqprior.prior_ce — one objective definition."""
+    from generative_models_tpu.losses.vqprior import _shift, prior_ce
     logits = prior_apply_pp(params, _shift(tokens, cfg), cfg, mesh,
                             n_micro, y)
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    return -jnp.mean(jnp.take_along_axis(logp, tokens[..., None],
-                                         axis=-1))
+    return prior_ce(logits, tokens)
 
 
 def build_pp_prior_step(cfg: Config, mesh: Mesh, n_micro: int,

@@ -52,11 +52,8 @@ MODEL_AXIS = "model"
 
 def make_mesh_2d(dp: int, tp: int, devices=None) -> Mesh:
     """2-D mesh: ``dp * tp`` devices as axes ("data", "model")."""
-    devs = list(devices if devices is not None else jax.devices())
-    need = dp * tp
-    if need > len(devs):
-        raise ValueError(f"dp*tp={need} but only {len(devs)} devices")
-    return Mesh(np.array(devs[:need]).reshape(dp, tp), (DATA_AXIS, MODEL_AXIS))
+    from generative_models_tpu.parallel.mesh import make_mesh_2axis
+    return make_mesh_2axis(dp, tp, MODEL_AXIS, devices)
 
 
 def _layer_spec(in_ok: bool, out_ok: bool, parallel_in: bool,

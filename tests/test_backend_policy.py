@@ -178,8 +178,16 @@ def test_flow_guidance_default_follows_measured_ablation():
                           ddpm_guidance=0.0).ddpm_guidance == 0.0
     assert variant_config("flow").ddpm_guidance == 0.0
     # with label dropout disabled the null token is never trained, so
-    # guided extrapolation would mix a random-init branch: default 0
+    # guided extrapolation would mix a random-init branch: default 0,
+    # and an EXPLICIT guidance>0 with label_drop=0 is refused outright
+    # (Config.__post_init__ — the invariant lives at validation
+    # altitude, not just in the default resolver)
     assert variant_config("flow", ddpm_cond=True,
                           ddpm_label_drop=0.0).ddpm_guidance == 0.0
+    import pytest
+
+    with pytest.raises(ValueError, match="label_drop"):
+        variant_config("flow", ddpm_cond=True, ddpm_label_drop=0.0,
+                       ddpm_guidance=0.3)
     # ddpm's own ablation measured the opposite: default stays 0
     assert variant_config("ddpm", ddpm_cond=True).ddpm_guidance == 0.0
